@@ -1,0 +1,278 @@
+"""Flash attention for TPU (Pallas) with an XLA reference implementation.
+
+Replaces the cuDNN/SDPA attention kernels the reference inherits from torch
+(ViT-L encoder, perceiver cross-attention, LLaMA-2 decoder; SURVEY.md §2.1
+native-dep rows). Online-softmax tiling keeps the (Sq, Skv) score matrix out
+of HBM; accumulation in float32 on the MXU.
+
+Layout convention: q (B, H, Sq, D), k/v (B, H, Skv, D), optional kv_mask
+(B, Skv) bool (True = attend). Returns (B, H, Sq, D) in q.dtype.
+
+Backward: custom_vjp whose bwd recomputes attention with the XLA reference
+(rematerialization — trades FLOPs for HBM, standard on TPU); a dedicated
+Pallas backward kernel is a later optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference
+# ---------------------------------------------------------------------------
+
+
+def mha_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * sm_scale
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask[:, None, None, :], scores, _NEG_INF)
+    if causal:
+        sq, skv = q.shape[2], k.shape[2]
+        q_ids = jnp.arange(sq)[:, None]
+        kv_ids = jnp.arange(skv)[None, :]
+        scores = jnp.where(kv_ids <= q_ids, scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    # inputs (mask_ref present only when has_mask)
+    *refs,
+    sm_scale: float,
+    causal: bool,
+    bq: int,
+    bk: int,
+    skv_valid: int,
+    has_mask: bool,
+):
+    if has_mask:
+        q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        mask_ref = None
+
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Causal: skip kv blocks strictly above the diagonal of this q block.
+    should_run = (ki * bk <= qi * bq + (bq - 1)) if causal else (ki >= 0)
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0]  # (bq, D)
+        k = k_ref[0]  # (bk, D)
+        v = v_ref[0]  # (bk, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * sm_scale  # (bq, bk)
+
+        kv_ids = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = kv_ids < skv_valid
+        if causal:
+            q_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            mask = jnp.logical_and(mask, kv_ids <= q_ids)
+        if mask_ref is not None:
+            mask = jnp.logical_and(mask, mask_ref[0][None, :] > 0)
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_ref[:, 0]  # (bq,)
+        l_prev = l_ref[:, 0]
+        m_curr = jnp.max(s, axis=1)
+        m_new = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])
+        # Fully-masked rows: m_new == _NEG_INF would give exp(0)=1 per entry;
+        # re-zero them so padding rows stay exactly zero.
+        p = jnp.where(mask, p, 0.0)
+        l_new = alpha * l_prev + jnp.sum(p, axis=1)
+
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha[:, None] + pv
+        m_ref[:] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_ref[:, 0]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / l_safe[:, None]).astype(o_ref.dtype)
+
+
+def _flash_attention_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+    causal: bool,
+    sm_scale: float,
+    interpret: bool = False,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    batch, heads, sq, d = q.shape
+    skv = k.shape[2]
+
+    bq = min(block_q, _round_up(sq, _LANES))
+    bk = min(block_k, _round_up(skv, _LANES))
+    sq_pad = _round_up(sq, bq)
+    skv_pad = _round_up(skv, bk)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_pad - skv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_pad - skv), (0, 0)))
+
+    qp = qp.reshape(batch * heads, sq_pad, d)
+    kp = kp.reshape(batch * heads, skv_pad, d)
+    vp = vp.reshape(batch * heads, skv_pad, d)
+
+    grid = (batch * heads, sq_pad // bq, skv_pad // bk)
+    has_mask = kv_mask is not None
+
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
+        pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
+        pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
+    ]
+    operands = [qp, kp, vp]
+    if has_mask:
+        maskp = jnp.pad(
+            kv_mask.astype(jnp.int8), ((0, 0), (0, skv_pad - skv))
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, bk), lambda bh, qi, ki, h=heads: (bh // h, ki)
+            )
+        )
+        operands.append(maskp)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        bq=bq,
+        bk=bk,
+        skv_valid=skv,
+        has_mask=has_mask,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch * heads, sq_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, _LANES), jnp.float32),  # running max
+            pltpu.VMEM((bq, _LANES), jnp.float32),  # running denominator
+            pltpu.VMEM((bq, d), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * heads * sq * skv * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=batch * heads * sq * skv,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    return out.reshape(batch, heads, sq_pad, d)[:, :, :sq, :]
+
+
+# ---------------------------------------------------------------------------
+# Public entry point: Pallas forward on TPU, XLA-recompute backward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_attention_tpu(q, k, v, kv_mask, causal, sm_scale):
+    return _flash_attention_pallas(q, k, v, kv_mask, causal, sm_scale)
+
+
+def _flash_fwd(q, k, v, kv_mask, causal, sm_scale):
+    out = _flash_attention_pallas(q, k, v, kv_mask, causal, sm_scale)
+    return out, (q, k, v, kv_mask)
+
+
+def _flash_bwd(causal, sm_scale, residuals, g):
+    q, k, v, kv_mask = residuals
+    _, vjp_fn = jax.vjp(
+        lambda q_, k_, v_: mha_reference(
+            q_, k_, v_, kv_mask, causal=causal, sm_scale=sm_scale
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp_fn(g)
+    return dq, dk, dv, None
+
+
+_flash_attention_tpu.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Multi-head attention. Dispatches to the Pallas kernel on TPU backends,
+    the XLA reference elsewhere (CPU test meshes)."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return _flash_attention_tpu(q, k, v, kv_mask, causal, sm_scale)
+    return mha_reference(q, k, v, kv_mask, causal=causal, sm_scale=sm_scale)

@@ -1,0 +1,169 @@
+"""Kernel numerics: Pallas (interpret mode on CPU) vs XLA reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lhrs_bot_tpu.ops import attention, mlp, rmsnorm, rope
+import lhrs_bot_tpu.ops.patch_embed as pe
+from lhrs_bot_tpu.ops.decode_attention import decode_attention
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype=jnp.float32).astype(dtype)
+
+
+class TestRMSNorm:
+    def test_matches_manual(self):
+        x = _rand(jax.random.PRNGKey(0), (4, 32))
+        w = _rand(jax.random.PRNGKey(1), (32,)) + 1.0
+        got = rmsnorm.rms_norm(x, w, eps=1e-5)
+        expected = w * (x / np.sqrt(np.mean(np.square(np.asarray(x)), -1, keepdims=True) + 1e-5))
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+    def test_layer_norm(self):
+        x = _rand(jax.random.PRNGKey(2), (4, 32))
+        w = jnp.ones((32,))
+        b = jnp.zeros((32,))
+        got = np.asarray(rmsnorm.layer_norm(x, w, b))
+        assert abs(got.mean()) < 1e-5
+        np.testing.assert_allclose(got.var(axis=-1), 1.0, rtol=1e-3)
+
+
+class TestRoPE:
+    def test_zero_position_is_identity(self):
+        x = _rand(jax.random.PRNGKey(0), (1, 1, 2, 8))  # (B, S, H, D)
+        cos, sin = rope.rope_cos_sin(jnp.zeros((1, 1), jnp.int32), 8)
+        out = rope.apply_rope(x, cos, sin)
+        np.testing.assert_allclose(out, x, rtol=1e-6)
+
+    def test_rotation_preserves_norm(self):
+        x = _rand(jax.random.PRNGKey(1), (2, 5, 4, 16))
+        pos = jnp.broadcast_to(jnp.arange(5)[None, :], (2, 5))
+        cos, sin = rope.rope_cos_sin(pos, 16)
+        out = rope.apply_rope(x, cos, sin)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out), axis=-1),
+            np.linalg.norm(np.asarray(x), axis=-1),
+            rtol=1e-5,
+        )
+
+    def test_relative_property(self):
+        # <rope(q, m), rope(k, n)> depends only on m - n
+        d = 32
+        q = _rand(jax.random.PRNGKey(2), (1, 1, 1, d))
+        k = _rand(jax.random.PRNGKey(3), (1, 1, 1, d))
+
+        def score(m, n):
+            cq, sq_ = rope.rope_cos_sin(jnp.array([[m]], jnp.int32), d)
+            ck, sk = rope.rope_cos_sin(jnp.array([[n]], jnp.int32), d)
+            qr = rope.apply_rope(q, cq, sq_)
+            kr = rope.apply_rope(k, ck, sk)
+            return float(jnp.sum(qr * kr))
+
+        assert abs(score(5, 3) - score(10, 8)) < 1e-3
+
+
+class TestFlashAttention:
+    # Interpret-mode pallas is slow on CPU: keep shapes small but still
+    # exercising multi-block grids (sq/skv > one 128 block via _LANES patch
+    # below) by shrinking the block size for the test.
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("sq,skv", [(160, 160), (40, 200)])
+    def test_pallas_matches_reference(self, causal, sq, skv, monkeypatch):
+        if causal and sq != skv:
+            pytest.skip("causal requires square")
+        monkeypatch.setattr(attention, "_LANES", 128)
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        q = _rand(k1, (1, 2, sq, 64))
+        k = _rand(k2, (1, 2, skv, 64))
+        v = _rand(k3, (1, 2, skv, 64))
+        ref = attention.mha_reference(q, k, v, causal=causal)
+        got = attention._flash_attention_pallas(
+            q, k, v, None, causal, 1.0 / np.sqrt(64), interpret=True,
+            block_q=128, block_k=128,
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    def test_kv_mask(self):
+        key = jax.random.PRNGKey(1)
+        k1, k2, k3 = jax.random.split(key, 3)
+        q = _rand(k1, (2, 2, 16, 64))
+        k = _rand(k2, (2, 2, 40, 64))
+        v = _rand(k3, (2, 2, 40, 64))
+        mask = jnp.arange(40)[None, :] < jnp.array([25, 40])[:, None]
+        ref = attention.mha_reference(q, k, v, mask)
+        got = attention._flash_attention_pallas(
+            q, k, v, mask, False, 1.0 / np.sqrt(64), interpret=True
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+        # masked-out kv positions must not influence the output
+        v2 = v.at[0, :, 30:, :].set(999.0)
+        got2 = attention.mha_reference(q, k, v2, mask)
+        np.testing.assert_allclose(got2, ref, rtol=1e-5, atol=1e-5)
+
+    def test_dispatch_cpu_uses_reference(self):
+        q = _rand(jax.random.PRNGKey(0), (1, 1, 8, 64))
+        out = attention.flash_attention(q, q, q, causal=True)
+        ref = attention.mha_reference(q, q, q, causal=True)
+        np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+    def test_grad_flows(self):
+        q = _rand(jax.random.PRNGKey(0), (1, 2, 16, 32))
+
+        def loss(q_):
+            return jnp.sum(attention.flash_attention(q_, q_, q_, causal=True) ** 2)
+
+        g = jax.grad(loss)(q)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestDecodeAttention:
+    def test_matches_reference_with_valid_len(self):
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        B, H, S, D = 2, 4, 64, 32
+        q = _rand(k1, (B, H, 1, D))
+        kc = _rand(k2, (B, H, S, D))
+        vc = _rand(k3, (B, H, S, D))
+        lens = jnp.array([17, 50], jnp.int32)
+        got = decode_attention(q, kc, vc, lens)
+        mask = jnp.arange(S)[None, :] < lens[:, None]
+        ref = attention.mha_reference(q, kc, vc, mask)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestMLP:
+    def test_silu_mlp(self):
+        x = _rand(jax.random.PRNGKey(0), (4, 16))
+        wg = _rand(jax.random.PRNGKey(1), (16, 32)) * 0.1
+        wu = _rand(jax.random.PRNGKey(2), (16, 32)) * 0.1
+        wd = _rand(jax.random.PRNGKey(3), (32, 16)) * 0.1
+        got = mlp.silu_mlp(x, wg, wu, wd)
+        expected = (jax.nn.silu(x @ wg) * (x @ wu)) @ wd
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+    def test_quick_gelu(self):
+        x = _rand(jax.random.PRNGKey(0), (4, 8))
+        w1 = jnp.eye(8)
+        w2 = jnp.eye(8)
+        got = mlp.gelu_mlp(x, w1, jnp.zeros(8), w2, jnp.zeros(8), quick_gelu=True)
+        expected = x * jax.nn.sigmoid(1.702 * x)
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+class TestPatchEmbed:
+    def test_matches_unfused(self):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, size=(2, 28, 28, 3), dtype=np.uint8)
+        w = rng.normal(size=(14 * 14 * 3, 16)).astype(np.float32) * 0.02
+        got = pe.patch_embed(
+            jnp.asarray(img), jnp.asarray(w), patch=14, compute_dtype=jnp.float32
+        )
+        x = img.astype(np.float32) / 255.0
+        x = (x - pe.CLIP_MEAN) / np.asarray(pe.CLIP_STD)
+        ref = pe.patchify(jnp.asarray(x, jnp.float32), 14) @ w
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+        assert got.shape == (2, 4, 16)
