@@ -1,0 +1,327 @@
+"""LLaMA-2 decoder (functional JAX, TPU-first).
+
+Capability parity with the reference's CustomLlamaForCausalLM (HF
+LlamaForCausalLM wrapper, lhrs/models/text_modal.py:30-60) and its training
+loss path (text_modal.py:258-294): RoPE attention (MHA, 32 heads), RMSNorm,
+SiLU-gated MLP, tied-nothing lm_head, causal LM cross-entropy with
+IGNORE_INDEX(-100) masking and mean-over-valid-tokens reduction.
+
+TPU-first design:
+  * per-layer params stacked on a leading axis, depth iterated with lax.scan
+    (single trace, fast compile, scan-friendly rematerialization);
+  * generation uses a preallocated static-shape KV cache (B, H, S_max, D)
+    threaded functionally through a jitted decode loop — prompts are
+    right-padded and per-row valid lengths drive both the attention mask and
+    the cache write position (replaces HF's dynamic KV cache + left-padding,
+    text_modal.py:36-60);
+  * attention = Pallas flash kernel for prefill, masked decode-attention for
+    single-token steps;
+  * TP sharding is applied externally via PartitionSpecs on the stacked
+    parameter pytree (parallel/partition.py) — functions stay mesh-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .constants import IGNORE_INDEX
+from ..ops.attention import flash_attention
+from ..ops.decode_attention import decode_attention
+from ..ops.mlp import silu_mlp
+from ..ops.rmsnorm import rms_norm
+from ..ops.rope import apply_rope, rope_cos_sin
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    pad_token_id: int = 0
+    bos_token_id: int = 1
+    eos_token_id: int = 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def llama2_7b(cls) -> "LlamaConfig":
+        return cls()
+
+    @classmethod
+    def tiny_test(cls) -> "LlamaConfig":
+        return cls(vocab_size=256, hidden_size=64, intermediate_size=128,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   max_position_embeddings=128)
+
+    @classmethod
+    def from_config_dict(cls, text_cfg) -> "LlamaConfig":
+        return cls(
+            vocab_size=text_cfg.vocab_size,
+            hidden_size=text_cfg.hidden_size,
+            intermediate_size=text_cfg.intermediate_size,
+            num_hidden_layers=text_cfg.num_hidden_layers,
+            num_attention_heads=text_cfg.num_attention_heads,
+            max_position_embeddings=text_cfg.max_position_embeddings,
+            rms_norm_eps=float(text_cfg.rms_norm_eps),
+            pad_token_id=text_cfg.pad_token_id,
+            bos_token_id=text_cfg.bos_token_id,
+            eos_token_id=text_cfg.eos_token_id,
+        )
+
+
+def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
+    keys = jax.random.split(rng, 10)
+    d, ffn, L, V = (cfg.hidden_size, cfg.intermediate_size,
+                    cfg.num_hidden_layers, cfg.vocab_size)
+
+    def stacked(k, shape, scale=0.02):
+        return (jax.random.normal(k, (L,) + shape) * scale).astype(dtype)
+
+    return {
+        "embed_tokens": (jax.random.normal(keys[0], (V, d)) * 0.02).astype(dtype),
+        "layers": {
+            "input_norm": jnp.ones((L, d), dtype),
+            "wq": stacked(keys[1], (d, d)),
+            "wk": stacked(keys[2], (d, d)),
+            "wv": stacked(keys[3], (d, d)),
+            "wo": stacked(keys[4], (d, d)),
+            "post_attn_norm": jnp.ones((L, d), dtype),
+            "w_gate": stacked(keys[5], (d, ffn)),
+            "w_up": stacked(keys[6], (d, ffn)),
+            "w_down": stacked(keys[7], (ffn, d)),
+        },
+        "final_norm": jnp.ones((d,), dtype),
+        "lm_head": (jax.random.normal(keys[8], (d, V)) * 0.02).astype(dtype),
+    }
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache: (L, B, H, S_max, D) + per-row valid length."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray  # (B,) int32
+
+    @classmethod
+    def create(cls, cfg: LlamaConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, cfg.num_attention_heads,
+                 max_len, cfg.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((batch,), jnp.int32),
+        )
+
+
+def _qkv(x, lp, cfg: LlamaConfig, cos, sin):
+    """Project + RoPE. x: (B, S, D) → q/k/v (B, H, S, hd)."""
+    b, s, _ = x.shape
+
+    def proj(wm):
+        out = jnp.dot(x, wm, preferred_element_type=jnp.float32)
+        return out.astype(x.dtype).reshape(
+            b, s, cfg.num_attention_heads, cfg.head_dim)
+
+    q = apply_rope(proj(lp["wq"]), cos, sin).transpose(0, 2, 1, 3)
+    k = apply_rope(proj(lp["wk"]), cos, sin).transpose(0, 2, 1, 3)
+    v = proj(lp["wv"]).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def _block_full(x, lp, cfg: LlamaConfig, cos, sin, kv_mask):
+    """Full-sequence causal block (training / cacheless forward)."""
+    b, s, d = x.shape
+    h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+    q, k, v = _qkv(h, lp, cfg, cos, sin)
+    attn = flash_attention(q, k, v, kv_mask, causal=True)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+    attn = jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32
+                   ).astype(x.dtype)
+    x = x + attn
+    h2 = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
+    x = x + silu_mlp(h2, lp["w_gate"], lp["w_up"], lp["w_down"])
+    return x
+
+
+def llama_apply(
+    params,
+    cfg: LlamaConfig,
+    *,
+    input_ids: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,  # (B, S) bool
+    positions: Optional[jnp.ndarray] = None,  # (B, S) int32
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Cacheless forward → logits (B, S, V) float32."""
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    x = inputs_embeds.astype(compute_dtype)
+    b, s, _ = x.shape
+
+    if positions is None:
+        if attention_mask is not None:
+            positions = jnp.maximum(
+                jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1, 0)
+        else:
+            positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda p: p.astype(compute_dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
+    layers = cast(params["layers"])
+
+    def body(carry, lp):
+        fn = _block_full
+        if remat:
+            fn = jax.checkpoint(_block_full, static_argnums=(2,))
+        return fn(carry, lp, cfg, cos, sin, attention_mask), None
+
+    x, _ = jax.lax.scan(body, x, layers)
+    x = rms_norm(x, params["final_norm"].astype(compute_dtype),
+                 cfg.rms_norm_eps)
+    logits = jnp.dot(x, params["lm_head"].astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return logits
+
+
+def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Shifted cross-entropy, IGNORE_INDEX masked, mean over valid tokens
+    (matches HF LlamaForCausalLM loss semantics used at text_modal.py:281-294).
+    """
+    shift_logits = logits[:, :-1, :].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logz = jax.nn.logsumexp(shift_logits, axis=-1)
+    gold = jnp.take_along_axis(
+        shift_logits, safe_labels[..., None], axis=-1).squeeze(-1)
+    nll = (logz - gold) * valid
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+# ---------------------------------------------------------------------------
+# Cached generation path
+# ---------------------------------------------------------------------------
+
+
+def _block_prefill(x, lp, kc, vc, cfg: LlamaConfig, cos, sin, prompt_len):
+    """Causal block that also returns K/V to store. Right-padded prompts:
+    causal masking alone is correct (pads sit after valid tokens)."""
+    b, s, d = x.shape
+    h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+    q, k, v = _qkv(h, lp, cfg, cos, sin)
+    attn = flash_attention(q, k, v, causal=True)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+    attn = jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32
+                   ).astype(x.dtype)
+    x = x + attn
+    h2 = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
+    x = x + silu_mlp(h2, lp["w_gate"], lp["w_up"], lp["w_down"])
+    # write into the first s slots of the cache
+    kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0, 0))
+    vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0, 0))
+    return x, kc, vc
+
+
+def llama_prefill(
+    params,
+    cfg: LlamaConfig,
+    cache: KVCache,
+    *,
+    inputs_embeds: jnp.ndarray,  # (B, S, D) right-padded
+    prompt_len: jnp.ndarray,  # (B,) int32 valid lengths
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Prefill the cache; returns (next-token logits (B, V), cache)."""
+    x = inputs_embeds.astype(compute_dtype)
+    b, s, _ = x.shape
+    positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda p: p.astype(compute_dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
+    layers = cast(params["layers"])
+
+    def body(carry, xs):
+        lp, kc, vc = xs
+        x_new, kc, vc = _block_prefill(carry, lp, kc, vc, cfg, cos, sin,
+                                       prompt_len)
+        return x_new, (kc, vc)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+    x = rms_norm(x, params["final_norm"].astype(compute_dtype),
+                 cfg.rms_norm_eps)
+    # next-token logits come from the last *valid* position of each row
+    last_idx = jnp.maximum(prompt_len - 1, 0)
+    x_last = jnp.take_along_axis(
+        x, last_idx[:, None, None].astype(jnp.int32), axis=1).squeeze(1)
+    logits = jnp.dot(x_last, params["lm_head"].astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return logits, KVCache(new_k, new_v, prompt_len.astype(jnp.int32))
+
+
+def _write_at(cache_arr, new_vals, lengths):
+    """Scatter (B, H, 1, D) new_vals into (B, H, S, D) at per-row lengths."""
+    b, h, s, d = cache_arr.shape
+    pos = jnp.arange(s)[None, None, :, None]
+    sel = pos == lengths[:, None, None, None]
+    return jnp.where(sel, new_vals.astype(cache_arr.dtype), cache_arr)
+
+
+def llama_decode_step(
+    params,
+    cfg: LlamaConfig,
+    cache: KVCache,
+    *,
+    inputs_embeds: jnp.ndarray,  # (B, 1, D) — embedding of the new token
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step: returns (logits (B, V), updated cache)."""
+    x = inputs_embeds.astype(compute_dtype)
+    b = x.shape[0]
+    positions = cache.length[:, None]  # (B, 1)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda p: p.astype(compute_dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
+    layers = cast(params["layers"])
+    new_len = cache.length + 1
+
+    def body(carry, xs):
+        lp, kc, vc = xs
+        h = rms_norm(carry, lp["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(h, lp, cfg, cos, sin)  # (B, H, 1, hd)
+        kc = _write_at(kc, k, cache.length)
+        vc = _write_at(vc, v, cache.length)
+        attn = decode_attention(q, kc, vc, new_len)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_size)
+        attn = jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32
+                       ).astype(carry.dtype)
+        x_mid = carry + attn
+        h2 = rms_norm(x_mid, lp["post_attn_norm"], cfg.rms_norm_eps)
+        x_out = x_mid + silu_mlp(h2, lp["w_gate"], lp["w_up"], lp["w_down"])
+        return x_out, (kc, vc)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+    x = rms_norm(x, params["final_norm"].astype(compute_dtype),
+                 cfg.rms_norm_eps)
+    logits = jnp.dot(x[:, 0, :], params["lm_head"].astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return logits, KVCache(new_k, new_v, new_len)

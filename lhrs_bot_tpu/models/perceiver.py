@@ -1,0 +1,179 @@
+"""Multi-level perceiver resampler ("attention pooler").
+
+Behavioral parity with the reference AttnPooler (lhrs/models/common_arch.py:
+93-173): 144 learned queries split [64, 48, 32] across the three vision
+feature levels (each level 256 tokens); for each level group, the *same* 6
+pre-LN cross-attention blocks (ResidualAttentionBlock, common_arch.py:262-333)
+run with q = evolving group queries and k/v = the *fixed* concat of the
+initial group queries and that level's tokens; outputs are concatenated and
+projected 1024 → 4096 into LLM space.
+
+TPU-first notes: the three level groups are independent, so they run as one
+batched attention call by padding groups to a common query/kv length — but
+group sizes (64/48/32 q, 320/304/288 kv) are small enough that simple
+concatenation along the token axis with a block-diagonal mask would waste
+MXU cycles; instead we loop the 3 groups (static Python loop, fused by XLA)
+and stack the 6 shared layers under lax.scan... layers are *shared across
+groups but sequential in depth*, so depth is the scan axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import flash_attention
+from ..ops.mlp import gelu_mlp
+from ..ops.rmsnorm import layer_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class PerceiverConfig:
+    num_query: int = 144
+    num_layers: int = 6
+    heads: int = 16
+    hidden_size: int = 1024  # == vision width (no in_proj needed)
+    encoder_hidden_size: int = 1024
+    output_size: int = 4096  # LLM hidden size
+    mlp_ratio: int = 4
+    ln_eps: float = 1e-5
+    stage_num: Tuple[int, ...] = (64, 48, 32)
+    split_part: Tuple[int, ...] = (256, 256, 256)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.heads
+
+    @classmethod
+    def tiny_test(cls) -> "PerceiverConfig":
+        return cls(num_query=12, num_layers=2, heads=2, hidden_size=32,
+                   encoder_hidden_size=32, output_size=64,
+                   stage_num=(6, 4, 2), split_part=(4, 4, 4))
+
+
+def init_perceiver_params(rng: jax.Array, cfg: PerceiverConfig,
+                          dtype=jnp.float32):
+    keys = jax.random.split(rng, 8)
+    h, L, ffn = cfg.hidden_size, cfg.num_layers, cfg.hidden_size * cfg.mlp_ratio
+
+    def stacked(k, shape, scale=0.02):
+        return (jax.random.normal(k, (L,) + shape) * scale).astype(dtype)
+
+    params = {
+        "query": (jax.random.truncated_normal(keys[0], -2, 2,
+                                              (cfg.num_query, h)) * 0.02
+                  ).astype(dtype),
+        "layers": {
+            "ln1_scale": jnp.ones((L, h), dtype),
+            "ln1_bias": jnp.zeros((L, h), dtype),
+            "ln_kv_scale": jnp.ones((L, h), dtype),
+            "ln_kv_bias": jnp.zeros((L, h), dtype),
+            "wq": stacked(keys[1], (h, h)),
+            "bq": jnp.zeros((L, h), dtype),
+            "wk": stacked(keys[2], (h, h)),
+            "bk": jnp.zeros((L, h), dtype),
+            "wv": stacked(keys[3], (h, h)),
+            "bv": jnp.zeros((L, h), dtype),
+            "wo": stacked(keys[4], (h, h)),
+            "bo": jnp.zeros((L, h), dtype),
+            "ln2_scale": jnp.ones((L, h), dtype),
+            "ln2_bias": jnp.zeros((L, h), dtype),
+            "w_fc": stacked(keys[5], (h, ffn)),
+            "b_fc": jnp.zeros((L, ffn), dtype),
+            "w_proj": stacked(keys[6], (ffn, h)),
+            "b_proj": jnp.zeros((L, h), dtype),
+        },
+        "out_proj_w": (jax.random.normal(keys[7],
+                                         (h, cfg.output_size)) * 0.02
+                       ).astype(dtype),
+        "out_proj_b": jnp.zeros((cfg.output_size,), dtype),
+    }
+    if cfg.encoder_hidden_size != cfg.hidden_size:
+        params["in_proj_w"] = (
+            jax.random.normal(keys[0], (cfg.encoder_hidden_size, h)) * 0.02
+        ).astype(dtype)
+        params["in_proj_b"] = jnp.zeros((h,), dtype)
+    return params
+
+
+def _cross_block(q_tokens, kv_tokens, lp, cfg: PerceiverConfig):
+    """One pre-LN cross-attention block; kv_tokens already fixed per group."""
+    b, sq, h = q_tokens.shape
+    skv = kv_tokens.shape[1]
+
+    qn = layer_norm(q_tokens, lp["ln1_scale"], lp["ln1_bias"], cfg.ln_eps)
+    kvn = layer_norm(kv_tokens, lp["ln_kv_scale"], lp["ln_kv_bias"], cfg.ln_eps)
+
+    def proj(x, wm, bm, s):
+        out = jnp.dot(x, wm, preferred_element_type=jnp.float32) + bm
+        return out.astype(x.dtype).reshape(b, s, cfg.heads, cfg.head_dim)
+
+    q = proj(qn, lp["wq"], lp["bq"], sq).transpose(0, 2, 1, 3)
+    k = proj(kvn, lp["wk"], lp["bk"], skv).transpose(0, 2, 1, 3)
+    v = proj(kvn, lp["wv"], lp["bv"], skv).transpose(0, 2, 1, 3)
+    attn = flash_attention(q, k, v, causal=False)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, sq, h)
+    attn = (
+        jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32) + lp["bo"]
+    ).astype(q_tokens.dtype)
+    x = q_tokens + attn
+
+    h2 = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.ln_eps)
+    x = x + gelu_mlp(h2, lp["w_fc"], lp["b_fc"], lp["w_proj"], lp["b_proj"],
+                     quick_gelu=False)
+    return x
+
+
+def perceiver_resample(
+    params,
+    image_embs: jnp.ndarray,  # (B, sum(split_part), encoder_hidden)
+    cfg: PerceiverConfig,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """(B, 3*256, 1024) vision features → (B, num_query, output_size)."""
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda p: p.astype(compute_dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
+    layers = cast(params["layers"])
+    image_embs = image_embs.astype(compute_dtype)
+
+    if "in_proj_w" in params:
+        image_embs = (
+            jnp.dot(image_embs, params["in_proj_w"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+            + params["in_proj_b"].astype(compute_dtype)
+        ).astype(compute_dtype)
+
+    b = image_embs.shape[0]
+    queries = jnp.broadcast_to(
+        params["query"].astype(compute_dtype)[None], (b,) + params["query"].shape
+    )
+
+    # split queries and image tokens per level
+    q_groups, img_groups = [], []
+    q_off = img_off = 0
+    for nq, nkv in zip(cfg.stage_num, cfg.split_part):
+        q_groups.append(queries[:, q_off:q_off + nq])
+        img_groups.append(image_embs[:, img_off:img_off + nkv])
+        q_off += nq
+        img_off += nkv
+
+    outs = []
+    for q0, img in zip(q_groups, img_groups):
+        kv_fixed = jnp.concatenate([q0, img], axis=1)  # fixed across depth
+
+        def body(carry, lp):
+            return _cross_block(carry, kv_fixed, lp, cfg), None
+
+        out, _ = jax.lax.scan(body, q0, layers)
+        outs.append(out)
+
+    pooled = jnp.concatenate(outs, axis=1)  # (B, num_query, hidden)
+    return (
+        jnp.dot(pooled, params["out_proj_w"].astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+        + params["out_proj_b"].astype(compute_dtype)
+    ).astype(compute_dtype)

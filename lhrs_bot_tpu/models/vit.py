@@ -1,0 +1,215 @@
+"""CLIP ViT-L/14 vision tower with multi-level feature taps (functional JAX).
+
+Behavioral parity with the reference's VisionModal wrapping HF CLIPVisionModel
+(lhrs/models/rgb_vision_modal.py:124-188): hidden states are tapped after
+layers [L/3, 2L/3, L-2] applied (extract_stage [7,15,22] for ViT-L-24,
+matching `outputs.hidden_states[stage]` where index k = k layers applied),
+the CLS token is dropped from each tap, and the three taps are concatenated
+to (B, 3*256, 1024).
+
+TPU-first design choices:
+  * layers are parameter-stacked and run under lax.scan (one trace, 3 segment
+    scans so only the tapped states are materialized);
+  * layers past the last tap (23, 24) are never computed — the reference
+    computes them and throws the result away;
+  * the patch embedding is the fused uint8 kernel (ops/patch_embed.py) so raw
+    pixels stream H2D and normalization folds into the projection matmul;
+  * attention uses the Pallas flash kernel on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import flash_attention
+from ..ops.mlp import gelu_mlp
+from ..ops.patch_embed import CLIP_MEAN, CLIP_STD, patch_embed, patchify
+from ..ops.rmsnorm import layer_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    mlp_ratio: int = 4
+    ln_eps: float = 1e-5
+    quick_gelu: bool = True  # CLIP uses QuickGELU
+    # taps: number of layers applied before each extraction (HF hidden_states
+    # index semantics); CLS dropped, taps concatenated along tokens.
+    extract_stages: Tuple[int, ...] = (7, 15, 22)
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + CLS
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+    @classmethod
+    def vit_large(cls) -> "ViTConfig":
+        return cls()
+
+    @classmethod
+    def vit_base(cls) -> "ViTConfig":
+        return cls(width=768, layers=12, heads=12, patch_size=16,
+                   extract_stages=(3, 7, 10))
+
+    @classmethod
+    def tiny_test(cls) -> "ViTConfig":
+        return cls(image_size=28, patch_size=14, width=32, layers=4, heads=2,
+                   extract_stages=(1, 2, 3))
+
+
+def init_vit_params(rng: jax.Array, cfg: ViTConfig, dtype=jnp.float32):
+    """Parameter pytree. Per-layer tensors are stacked on a leading axis for
+    lax.scan."""
+    keys = jax.random.split(rng, 8)
+    w, L = cfg.width, cfg.layers
+    d_patch = cfg.patch_size * cfg.patch_size * 3
+    ffn = w * cfg.mlp_ratio
+
+    def norm(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape) * scale).astype(dtype)
+
+    def stacked(k, shape, scale=0.02):
+        return (jax.random.normal(k, (L,) + shape) * scale).astype(dtype)
+
+    return {
+        "patch_proj": norm(keys[0], (d_patch, w)),
+        "class_emb": norm(keys[1], (w,)),
+        "pos_emb": norm(keys[2], (cfg.seq_len, w)),
+        "pre_ln": {"scale": jnp.ones((w,), dtype), "bias": jnp.zeros((w,), dtype)},
+        "post_ln": {"scale": jnp.ones((w,), dtype), "bias": jnp.zeros((w,), dtype)},
+        "layers": {
+            "ln1_scale": jnp.ones((L, w), dtype),
+            "ln1_bias": jnp.zeros((L, w), dtype),
+            "wq": stacked(keys[3], (w, w)),
+            "bq": jnp.zeros((L, w), dtype),
+            "wk": stacked(keys[4], (w, w)),
+            "bk": jnp.zeros((L, w), dtype),
+            "wv": stacked(keys[5], (w, w)),
+            "bv": jnp.zeros((L, w), dtype),
+            "wo": stacked(keys[6], (w, w)),
+            "bo": jnp.zeros((L, w), dtype),
+            "ln2_scale": jnp.ones((L, w), dtype),
+            "ln2_bias": jnp.zeros((L, w), dtype),
+            "w_fc": stacked(keys[7], (w, ffn)),
+            "b_fc": jnp.zeros((L, ffn), dtype),
+            "w_proj": stacked(keys[0], (ffn, w)),
+            "b_proj": jnp.zeros((L, w), dtype),
+        },
+    }
+
+
+def _encoder_layer(x: jnp.ndarray, lp, cfg: ViTConfig) -> jnp.ndarray:
+    """One pre-LN transformer block. x: (B, S, W)."""
+    b, s, w = x.shape
+    h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], cfg.ln_eps)
+
+    def proj(h_, wm, bm):
+        out = jnp.dot(h_, wm, preferred_element_type=jnp.float32) + bm
+        return out.astype(x.dtype).reshape(b, s, cfg.heads, cfg.head_dim)
+
+    q = proj(h, lp["wq"], lp["bq"]).transpose(0, 2, 1, 3)
+    k = proj(h, lp["wk"], lp["bk"]).transpose(0, 2, 1, 3)
+    v = proj(h, lp["wv"], lp["bv"]).transpose(0, 2, 1, 3)
+    attn = flash_attention(q, k, v, causal=False)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, w)
+    attn = (
+        jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32) + lp["bo"]
+    ).astype(x.dtype)
+    x = x + attn
+
+    h2 = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.ln_eps)
+    x = x + gelu_mlp(
+        h2, lp["w_fc"], lp["b_fc"], lp["w_proj"], lp["b_proj"],
+        quick_gelu=cfg.quick_gelu,
+    )
+    return x
+
+
+def _scan_layers(x, stacked_params, start: int, stop: int, cfg: ViTConfig,
+                 remat: bool = False):
+    sliced = jax.tree_util.tree_map(lambda p: p[start:stop], stacked_params)
+
+    def body(carry, lp):
+        fn = _encoder_layer
+        if remat:
+            fn = jax.checkpoint(_encoder_layer, static_argnums=(2,))
+        return fn(carry, lp, cfg), None
+
+    out, _ = jax.lax.scan(body, x, sliced)
+    return out
+
+
+def vit_embed(params, images, cfg: ViTConfig, compute_dtype=jnp.bfloat16):
+    """Images → (B, S, W) embedded tokens (CLS + patches + positions).
+
+    Accepts either raw uint8 (B, H, W, 3) — fused normalize+patchify+project —
+    or pre-normalized float pixel_values (B, 3, H, W) for parity with the
+    reference's CLIPImageProcessor pipeline.
+    """
+    w_patch = params["patch_proj"]
+    if images.dtype == jnp.uint8:
+        patches = patch_embed(images, w_patch, patch=cfg.patch_size,
+                              compute_dtype=compute_dtype)
+    else:
+        if images.shape[1] == 3:  # NCHW → NHWC
+            images = images.transpose(0, 2, 3, 1)
+        flat = patchify(images.astype(compute_dtype), cfg.patch_size)
+        patches = jnp.dot(
+            flat, w_patch.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)
+
+    b = patches.shape[0]
+    cls = jnp.broadcast_to(
+        params["class_emb"].astype(compute_dtype)[None, None, :],
+        (b, 1, cfg.width),
+    )
+    x = jnp.concatenate([cls, patches], axis=1)
+    x = x + params["pos_emb"].astype(compute_dtype)[None]
+    return x
+
+
+def vit_encode(
+    params,
+    images: jnp.ndarray,
+    cfg: ViTConfig,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Multi-level encode: returns (B, 3*num_patches, width).
+
+    Matches VisionModal.encode (rgb_vision_modal.py:166-184): tap after
+    extract_stages[i] layers, drop CLS, concat along the token axis. Layers
+    beyond the last tap are skipped entirely.
+    """
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda p: p.astype(compute_dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
+    layers = cast(params["layers"])
+
+    x = vit_embed(params, images, cfg, compute_dtype)
+    x = layer_norm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"],
+                   cfg.ln_eps)
+
+    taps = []
+    prev = 0
+    for stage in cfg.extract_stages:
+        x = _scan_layers(x, layers, prev, stage, cfg, remat=remat)
+        taps.append(x[:, 1:, :])  # drop CLS
+        prev = stage
+    return jnp.concatenate(taps, axis=1)

@@ -1,0 +1,188 @@
+"""LhrsVLM — the composed vision-language model.
+
+Capability parity with the reference's UniBind composite
+(lhrs/models/UniBind.py:24-242): vision tower → multi-level perceiver →
+embedding splice → LLaMA-2 decoder, with a training forward returning
+{text_loss, total_loss} (UniBind.forward :178-199), an encode_image path
+(:201-212), and per-stage trainability rules (prepare_for_training :119-176)
+expressed here as a parameter-mask pytree consumed by the optimizer.
+
+Everything is a pure function over a params pytree:
+  params = {"vit": ..., "pooler": ..., "llama": ..., ["lora": ...]}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .llama import LlamaConfig, causal_lm_loss, init_llama_params, llama_apply
+from .lora import LoraConfig, init_lora_params, merge_lora
+from .perceiver import PerceiverConfig, init_perceiver_params, perceiver_resample
+from .splice import SplicedBatch, splice_image_embeddings
+from .vit import ViTConfig, init_vit_params, vit_encode
+
+
+@dataclasses.dataclass(frozen=True)
+class VLMConfig:
+    vit: ViTConfig = dataclasses.field(default_factory=ViTConfig.vit_large)
+    pooler: PerceiverConfig = dataclasses.field(default_factory=PerceiverConfig)
+    llama: LlamaConfig = dataclasses.field(default_factory=LlamaConfig.llama2_7b)
+    lora: Optional[LoraConfig] = None
+    # stage semantics follow the reference configs (Config/multi_modal_*.yaml):
+    # 1 = caption alignment, 2/3 = instruction tuning w/ LoRA, 0 = eval (merged)
+    stage: int = 1
+    tune_rgb_bk: bool = False
+    tune_rgb_pooler: bool = True
+
+    @classmethod
+    def tiny_test(cls, stage: int = 1, lora: bool = False) -> "VLMConfig":
+        vit = ViTConfig.tiny_test()
+        n_patches = (vit.image_size // vit.patch_size) ** 2
+        pooler = dataclasses.replace(
+            PerceiverConfig.tiny_test(),
+            hidden_size=vit.width, encoder_hidden_size=vit.width,
+            output_size=64, split_part=(n_patches,) * 3,
+        )
+        return cls(
+            vit=vit, pooler=pooler, llama=LlamaConfig.tiny_test(),
+            lora=LoraConfig(r=4, alpha=8) if lora else None, stage=stage,
+        )
+
+    @classmethod
+    def from_config_dict(cls, cfg) -> "VLMConfig":
+        vit = (ViTConfig.vit_large() if cfg.rgb_vision.arch == "vit_large"
+               else ViTConfig.vit_base())
+        ap = cfg.rgb_vision.attn_pooler
+        pooler = PerceiverConfig(
+            num_query=ap.num_query, num_layers=ap.num_layers,
+            heads=ap.num_attn_heads, hidden_size=vit.width,
+            encoder_hidden_size=vit.width, output_size=cfg.text.hidden_size,
+        )
+        lora = (LoraConfig.from_config_dict(cfg.lora)
+                if getattr(cfg, "lora", None) and cfg.lora.enable else None)
+        return cls(
+            vit=vit, pooler=pooler,
+            llama=LlamaConfig.from_config_dict(cfg.text), lora=lora,
+            stage=cfg.stage, tune_rgb_bk=getattr(cfg, "tune_rgb_bk", False),
+            tune_rgb_pooler=getattr(cfg, "tune_rgb_pooler", True),
+        )
+
+
+def init_vlm_params(rng: jax.Array, cfg: VLMConfig, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    params = {
+        "vit": init_vit_params(k1, cfg.vit, dtype),
+        "pooler": init_perceiver_params(k2, cfg.pooler, dtype),
+        "llama": init_llama_params(k3, cfg.llama, dtype),
+    }
+    if cfg.lora is not None:
+        params["lora"] = init_lora_params(k4, cfg.llama, cfg.lora, dtype)
+    return params
+
+
+def effective_llama_params(params, cfg: VLMConfig, *,
+                           stop_base_gradient: bool = True):
+    """Base decoder params with LoRA merged in (if present)."""
+    llama = params["llama"]
+    if cfg.lora is None or "lora" not in params:
+        return llama
+    merged_layers = merge_lora(llama["layers"], params["lora"], cfg.lora,
+                               stop_base_gradient=stop_base_gradient)
+    return {**llama, "layers": merged_layers}
+
+
+def encode_image(params, images: jnp.ndarray, cfg: VLMConfig,
+                 compute_dtype=jnp.bfloat16, remat: bool = False):
+    """images (uint8 NHWC or float NCHW pixel_values) → (B, 144, llm_d).
+
+    Mirrors UniBind.encode_image (UniBind.py:201-212): multi-level ViT
+    features → perceiver resample.
+    """
+    feats = vit_encode(params["vit"], images, cfg.vit,
+                       compute_dtype=compute_dtype, remat=remat)
+    return perceiver_resample(params["pooler"], feats, cfg.pooler,
+                              compute_dtype=compute_dtype)
+
+
+def prepare_multimodal_inputs(
+    params, cfg: VLMConfig,
+    input_ids: jnp.ndarray,
+    images: Optional[jnp.ndarray],
+    attention_mask: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+    llama_params=None,
+) -> SplicedBatch:
+    if llama_params is None:
+        llama_params = params["llama"]
+    embed_tokens = llama_params["embed_tokens"]
+    if images is None:
+        # text-only batch: embed directly, no length change
+        ids_safe = jnp.maximum(input_ids, 0)
+        embeds = jnp.take(embed_tokens, ids_safe, axis=0)
+        if attention_mask is None:
+            attention_mask = jnp.ones(input_ids.shape, bool)
+        return SplicedBatch(
+            embeds, attention_mask, labels,
+            jnp.sum(attention_mask.astype(jnp.int32), axis=1),
+        )
+    image_embeds = encode_image(params, images, cfg, compute_dtype, remat)
+    return splice_image_embeddings(
+        input_ids, image_embeds, embed_tokens, attention_mask, labels)
+
+
+def vlm_forward_loss(
+    params, cfg: VLMConfig, batch: Dict[str, jnp.ndarray],
+    compute_dtype=jnp.bfloat16, remat: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Training forward → {"text_loss", "total_loss"} (UniBind.forward
+    :178-199 semantics; total == text for the published recipes)."""
+    llama_params = effective_llama_params(params, cfg)
+    spliced = prepare_multimodal_inputs(
+        params, cfg,
+        input_ids=batch["input_ids"],
+        images=batch.get("images"),
+        attention_mask=batch.get("attention_mask"),
+        labels=batch["labels"],
+        compute_dtype=compute_dtype,
+        remat=remat,
+        llama_params=llama_params,
+    )
+    logits = llama_apply(
+        llama_params, cfg.llama,
+        inputs_embeds=spliced.inputs_embeds,
+        attention_mask=spliced.attention_mask,
+        compute_dtype=compute_dtype,
+        remat=remat,
+    )
+    text_loss = causal_lm_loss(logits, spliced.labels)
+    return {"text_loss": text_loss, "total_loss": text_loss}
+
+
+def trainable_mask(params, cfg: VLMConfig) -> Any:
+    """Pytree of bools marking trainable leaves, per stage semantics of
+    UniBind.prepare_for_training (UniBind.py:119-176):
+      stage 1: pooler trainable, ViT frozen unless tune_rgb_bk, LLM frozen
+               (no LoRA);
+      stage 2: pooler + LoRA trainable;
+      stage 3: pooler frozen (tune_rgb_pooler False in the stage-3 recipe),
+               LoRA trainable;
+      stage 0 (eval): everything frozen.
+    """
+    def full(tree, value):
+        return jax.tree_util.tree_map(lambda _: value, tree)
+
+    mask = {
+        "vit": full(params["vit"], bool(cfg.tune_rgb_bk and cfg.stage != 0)),
+        "pooler": full(params["pooler"],
+                       bool(cfg.tune_rgb_pooler and cfg.stage != 0)),
+        "llama": full(params["llama"], False),
+    }
+    if "lora" in params:
+        mask["lora"] = full(params["lora"], cfg.stage in (2, 3))
+    return mask
