@@ -1,0 +1,221 @@
+"""Training stack: optimizers, schedules, sharded train step, trainer loop,
+checkpoint save/resume."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from lhrs_bot_tpu.core.config import ConfigDict
+from lhrs_bot_tpu.models import (
+    IMAGE_TOKEN_INDEX,
+    VLMConfig,
+    init_vlm_params,
+    trainable_mask,
+)
+from lhrs_bot_tpu.parallel.mesh import make_mesh
+from lhrs_bot_tpu.parallel.partition import shard_params, vlm_param_specs
+from lhrs_bot_tpu.train import (
+    EpochBasedTrainer,
+    IterBasedTrainer,
+    MetricStorage,
+    adan,
+    build_optimizer,
+    build_schedule,
+    make_train_step,
+)
+
+
+def _tiny_batch(rng, b=2, t=8, with_image=True):
+    ids = rng.integers(3, 200, size=(b, t))
+    if with_image:
+        ids[:, 1] = IMAGE_TOKEN_INDEX
+    return {
+        "input_ids": ids.astype(np.int32),
+        "labels": ids.astype(np.int32),
+        "attention_mask": np.ones((b, t), bool),
+        "images": np.zeros((b, 28, 28, 3), np.uint8),
+    }
+
+
+class _ToyLoader:
+    def __init__(self, n=4, b=2):
+        self.batches = [_tiny_batch(np.random.default_rng(i), b) for i in range(n)]
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+class TestSchedules:
+    def test_cosine_warmup(self):
+        cfg = ConfigDict({"lr": 1.0, "schedule": {
+            "name": "cosine", "min_lr": 0.1, "warmup_epochs": 10,
+            "warmup_method": "linear", "warmup_factor": 0.1}})
+        s = build_schedule(cfg, total_iters=100)
+        assert float(s(0)) == pytest.approx(0.1, abs=1e-3)
+        assert float(s(10)) <= 1.0
+        assert float(s(100)) == pytest.approx(0.1, abs=1e-3)
+        # monotone decreasing after warmup
+        vals = [float(s(i)) for i in range(10, 100, 10)]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+    @pytest.mark.parametrize("name", ["step", "exp", "poly", "inv", "linear",
+                                      "fixed", "flat_cosine"])
+    def test_family_finite(self, name):
+        cfg = ConfigDict({"lr": 0.5, "schedule": {
+            "name": name, "multisteps": [5, 10], "gamma": 0.9}})
+        s = build_schedule(cfg, total_iters=20)
+        vals = [float(s(i)) for i in range(20)]
+        assert all(np.isfinite(v) and v >= 0 for v in vals)
+
+
+class TestAdan:
+    def test_decreases_quadratic(self):
+        params = {"w": jnp.array([2.0, -3.0])}
+        tx = adan(0.1)
+        state = tx.init(params)
+
+        def loss(p):
+            return jnp.sum(p["w"] ** 2)
+
+        for _ in range(300):
+            g = jax.grad(loss)(params)
+            updates, state = tx.update(g, state, params)
+            params = optax.apply_updates(params, updates)
+        assert float(loss(params)) < 0.05
+
+
+class TestBuildOptimizer:
+    def test_frozen_leaves_stay_fixed(self):
+        cfg = VLMConfig.tiny_test(stage=1)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        conf = ConfigDict({"optimizer": "adamw", "lr": 1e-2, "wd": 0.0,
+                           "max_grad_norm": 1.0})
+        tx = build_optimizer(conf, params, trainable_mask(params, cfg))
+        state = tx.init(params)
+        batch = jax.tree_util.tree_map(jnp.asarray, _tiny_batch(
+            np.random.default_rng(0)))
+        step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+        new_params, _, metrics = jax.jit(step)(params, state, batch)
+        # llama + vit frozen at stage 1
+        np.testing.assert_allclose(new_params["llama"]["lm_head"],
+                                   params["llama"]["lm_head"])
+        np.testing.assert_allclose(new_params["vit"]["patch_proj"],
+                                   params["vit"]["patch_proj"])
+        # pooler moved
+        assert not np.allclose(new_params["pooler"]["query"],
+                               params["pooler"]["query"])
+        assert np.isfinite(metrics["total_loss"])
+
+
+class TestShardedStep:
+    def test_dp_tp_mesh_step_runs_and_matches_single(self):
+        cfg = VLMConfig.tiny_test(stage=1)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        conf = ConfigDict({"optimizer": "adamw", "lr": 1e-3, "wd": 0.0,
+                           "max_grad_norm": 0.0})
+        tx = build_optimizer(conf, params, trainable_mask(params, cfg))
+        batch_np = _tiny_batch(np.random.default_rng(0), b=4)
+        step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+
+        # single-device reference
+        p0 = jax.tree_util.tree_map(jnp.asarray, params)
+        s0 = tx.init(p0)
+        b0 = jax.tree_util.tree_map(jnp.asarray, batch_np)
+        ref_params, _, ref_metrics = jax.jit(step)(p0, s0, b0)
+
+        # 2x4 mesh
+        mesh = make_mesh(dp=2, tp=4)
+        sharded = shard_params(mesh, params)
+        st = tx.init(sharded)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bsh = jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.asarray(x),
+                                     NamedSharding(mesh, P("data"))),
+            batch_np)
+        new_params, _, metrics = jax.jit(step)(sharded, st, bsh)
+        assert np.isfinite(float(metrics["total_loss"]))
+        np.testing.assert_allclose(float(metrics["total_loss"]),
+                                   float(ref_metrics["total_loss"]),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(new_params["pooler"]["query"]),
+            np.asarray(ref_params["pooler"]["query"]), rtol=1e-3, atol=1e-5)
+
+    def test_lora_stage2_sharded(self):
+        cfg = VLMConfig.tiny_test(stage=2, lora=True)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        conf = ConfigDict({"optimizer": "adamw", "lr": 1e-3, "wd": 0.0})
+        tx = build_optimizer(conf, params, trainable_mask(params, cfg))
+        mesh = make_mesh(dp=2, tp=4)
+        sharded = shard_params(mesh, params)
+        st = tx.init(sharded)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.asarray(x),
+                                     NamedSharding(mesh, P("data"))),
+            _tiny_batch(np.random.default_rng(1), b=4))
+        step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+        new_params, _, metrics = jax.jit(step)(sharded, st, batch)
+        assert np.isfinite(float(metrics["total_loss"]))
+        # lora B moved, base frozen
+        assert not np.allclose(np.asarray(new_params["lora"]["wq"]["b"]), 0.0)
+        np.testing.assert_allclose(np.asarray(new_params["llama"]["layers"]["wq"]),
+                                   np.asarray(params["llama"]["layers"]["wq"]))
+
+
+class TestTrainerLoop:
+    def _make_trainer(self, tmp_path, max_iters=4):
+        cfg = VLMConfig.tiny_test(stage=1)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        conf = ConfigDict({"optimizer": "adamw", "lr": 1e-3, "wd": 0.0})
+        tx = build_optimizer(conf, params, trainable_mask(params, cfg))
+        return IterBasedTrainer(
+            cfg, params, tx, _ToyLoader(),
+            max_iters=max_iters, work_dir=str(tmp_path),
+            compute_dtype=jnp.float32, log_period=2, ckpt_period=2,
+        )
+
+    def test_loop_runs_and_checkpoints(self, tmp_path):
+        t = self._make_trainer(tmp_path)
+        t.train()
+        assert t.cur_iter == 4
+        assert "total_loss" in t.metric_storage.keys()
+        ckpts = os.listdir(os.path.join(str(tmp_path), "checkpoints"))
+        assert any(c.startswith("checkpoint_") for c in ckpts)
+
+    def test_resume_restores_iter_and_params(self, tmp_path):
+        t = self._make_trainer(tmp_path, max_iters=2)
+        t.train()
+        w_after = np.asarray(t.params["pooler"]["query"])
+
+        t2 = self._make_trainer(tmp_path, max_iters=4)
+        assert t2.resume()
+        assert t2.cur_iter == 2
+        np.testing.assert_allclose(
+            np.asarray(t2.params["pooler"]["query"]), w_after, atol=1e-6)
+        t2.train()
+        assert t2.cur_iter == 4
+
+
+class TestMetricStorage:
+    def test_smooth_and_latest(self):
+        ms = MetricStorage(window_size=2)
+        ms.update(0, loss=4.0)
+        ms.update(1, loss=2.0)
+        ms.update(2, loss=0.0)
+        assert ms.values_maybe_smooth()["loss"] == pytest.approx(1.0)
+        ms.update(0, smooth=False, lr=0.5)
+        assert ms.values_maybe_smooth()["lr"] == 0.5
+        state = ms.state_dict()
+        ms2 = MetricStorage()
+        ms2.load_state_dict(state)
+        assert ms2["loss"].global_avg == pytest.approx(2.0)
