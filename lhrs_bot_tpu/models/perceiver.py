@@ -99,7 +99,7 @@ def init_perceiver_params(rng: jax.Array, cfg: PerceiverConfig,
     return params
 
 
-def _cross_block(q_tokens, kv_tokens, lp, cfg: PerceiverConfig):
+def _cross_block(q_tokens, kv_tokens, lp, cfg: PerceiverConfig, kv_mask=None):
     """One pre-LN cross-attention block; kv_tokens already fixed per group."""
     b, sq, h = q_tokens.shape
     skv = kv_tokens.shape[1]
@@ -114,7 +114,7 @@ def _cross_block(q_tokens, kv_tokens, lp, cfg: PerceiverConfig):
     q = proj(qn, lp["wq"], lp["bq"], sq).transpose(0, 2, 1, 3)
     k = proj(kvn, lp["wk"], lp["bk"], skv).transpose(0, 2, 1, 3)
     v = proj(kvn, lp["wv"], lp["bv"], skv).transpose(0, 2, 1, 3)
-    attn = flash_attention(q, k, v, causal=False)
+    attn = flash_attention(q, k, v, kv_mask, causal=False)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, sq, h)
     attn = (
         jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32) + lp["bo"]
@@ -132,8 +132,14 @@ def perceiver_resample(
     image_embs: jnp.ndarray,  # (B, sum(split_part), encoder_hidden)
     cfg: PerceiverConfig,
     compute_dtype=jnp.bfloat16,
+    batch_groups: bool = False,
 ) -> jnp.ndarray:
-    """(B, 3*256, 1024) vision features → (B, num_query, output_size)."""
+    """(B, 3*256, 1024) vision features → (B, num_query, output_size).
+
+    batch_groups folds the 3 level groups into the batch axis (fewer, larger
+    launches); measured slower than the unrolled group loop on v5e (XLA fuses
+    the independent groups well), so the loop is the default.
+    """
     cast = lambda t: jax.tree_util.tree_map(
         lambda p: p.astype(compute_dtype)
         if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
@@ -152,26 +158,62 @@ def perceiver_resample(
         params["query"].astype(compute_dtype)[None], (b,) + params["query"].shape
     )
 
-    # split queries and image tokens per level
-    q_groups, img_groups = [], []
-    q_off = img_off = 0
-    for nq, nkv in zip(cfg.stage_num, cfg.split_part):
-        q_groups.append(queries[:, q_off:q_off + nq])
-        img_groups.append(image_embs[:, img_off:img_off + nkv])
-        q_off += nq
-        img_off += nkv
+    n_groups = len(cfg.stage_num)
+    equal_splits = len(set(cfg.split_part)) == 1 and batch_groups
 
-    outs = []
-    for q0, img in zip(q_groups, img_groups):
-        kv_fixed = jnp.concatenate([q0, img], axis=1)  # fixed across depth
+    if equal_splits:
+        # TPU fast path: fold the level groups into the batch axis so all
+        # groups share each attention/MLP launch (3x larger ops, 1/3 the
+        # launches). Queries are zero-padded to the largest group and the
+        # pad slots are excluded from kv via the mask, so numerics match
+        # the per-group loop exactly.
+        s_img = cfg.split_part[0]
+        max_nq = max(cfg.stage_num)
+        q_pad, q_valid = [], []
+        q_off = 0
+        for nq in cfg.stage_num:
+            grp = queries[:, q_off:q_off + nq]
+            q_pad.append(jnp.pad(grp, ((0, 0), (0, max_nq - nq), (0, 0))))
+            q_valid.append(
+                (jnp.arange(max_nq) < nq))
+            q_off += nq
+        # (B, G, max_nq, D) → (B*G, max_nq, D)
+        q0 = jnp.stack(q_pad, axis=1).reshape(b * n_groups, max_nq, -1)
+        img = image_embs.reshape(b, n_groups, s_img, -1).reshape(
+            b * n_groups, s_img, -1)
+        kv_fixed = jnp.concatenate([q0, img], axis=1)
+        valid = jnp.stack(q_valid, axis=0)  # (G, max_nq)
+        kv_mask = jnp.concatenate(
+            [jnp.tile(valid, (b, 1)),
+             jnp.ones((b * n_groups, s_img), bool)], axis=1)
 
         def body(carry, lp):
-            return _cross_block(carry, kv_fixed, lp, cfg), None
+            return _cross_block(carry, kv_fixed, lp, cfg, kv_mask), None
 
         out, _ = jax.lax.scan(body, q0, layers)
-        outs.append(out)
+        out = out.reshape(b, n_groups, max_nq, -1)
+        pooled = jnp.concatenate(
+            [out[:, g, :nq] for g, nq in enumerate(cfg.stage_num)], axis=1)
+    else:
+        # general path: per-group loop (matches the reference structure)
+        q_groups, img_groups = [], []
+        q_off = img_off = 0
+        for nq, nkv in zip(cfg.stage_num, cfg.split_part):
+            q_groups.append(queries[:, q_off:q_off + nq])
+            img_groups.append(image_embs[:, img_off:img_off + nkv])
+            q_off += nq
+            img_off += nkv
 
-    pooled = jnp.concatenate(outs, axis=1)  # (B, num_query, hidden)
+        outs = []
+        for q0, img in zip(q_groups, img_groups):
+            kv_fixed = jnp.concatenate([q0, img], axis=1)
+
+            def body(carry, lp):
+                return _cross_block(carry, kv_fixed, lp, cfg), None
+
+            out, _ = jax.lax.scan(body, q0, layers)
+            outs.append(out)
+        pooled = jnp.concatenate(outs, axis=1)  # (B, num_query, hidden)
     return (
         jnp.dot(pooled, params["out_proj_w"].astype(compute_dtype),
                 preferred_element_type=jnp.float32)

@@ -116,7 +116,9 @@ def _flash_kernel(
             q_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             mask = jnp.logical_and(mask, kv_ids <= q_ids)
         if mask_ref is not None:
-            mask = jnp.logical_and(mask, mask_ref[0][None, :] > 0)
+            # int32 compare: Mosaic lacks int8 vector cmp on some targets
+            mask = jnp.logical_and(
+                mask, mask_ref[0, 0][None, :].astype(jnp.int32) > 0)
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_ref[:, 0]  # (bq,)
@@ -182,12 +184,14 @@ def _flash_attention_pallas(
     ]
     operands = [qp, kp, vp]
     if has_mask:
+        # (B, 1, Skv_pad) so the block's trailing dims (1, bk) satisfy the
+        # TPU tiling constraint (second-to-last equal to the array dim)
         maskp = jnp.pad(
-            kv_mask.astype(jnp.int8), ((0, 0), (0, skv_pad - skv))
-        )
+            kv_mask.astype(jnp.int32), ((0, 0), (0, skv_pad - skv))
+        )[:, None, :]
         in_specs.append(
             pl.BlockSpec(
-                (1, bk), lambda bh, qi, ki, h=heads: (bh // h, ki)
+                (1, 1, bk), lambda bh, qi, ki, h=heads: (bh // h, 0, ki)
             )
         )
         operands.append(maskp)
@@ -267,12 +271,15 @@ def flash_attention(
     sm_scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Multi-head attention. Dispatches to the Pallas kernel on TPU backends,
-    the XLA reference elsewhere (CPU test meshes)."""
+    """Multi-head attention. Dispatch (measured on v5e): the Pallas flash
+    kernel wins for long sequences (causal 2048: 5.7ms vs 8.7ms XLA at
+    B4·H32·D128); XLA's fused attention wins at short ViT/perceiver shapes
+    (257 tokens: 3.7ms vs 4.6ms). CPU test meshes always use the XLA
+    reference."""
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() == "tpu" and k.shape[2] >= 1024
     if use_pallas:
         return _flash_attention_tpu(q, k, v, kv_mask, causal, sm_scale)
     return mha_reference(q, k, v, kv_mask, causal=causal, sm_scale=sm_scale)

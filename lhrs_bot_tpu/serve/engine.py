@@ -1,0 +1,221 @@
+"""Generation engine: batched prefill + decode over a static KV cache.
+
+Capability parity with the reference generation path (UniBind.generate →
+TextModal.generate → HF generate with KV cache, lhrs/models/UniBind.py:
+214-242, text_modal.py:528-627): greedy and temperature/top-p sampling,
+max_new_tokens, EOS / keyword stopping, and token streaming for the CLI/web
+UIs (TextIteratorStreamer parity, lhrs_webui.py:233-239).
+
+TPU-first design:
+  * prompts arrive right-padded with per-row lengths; the KV cache appends at
+    `length` so no left-padding or position remapping is needed;
+  * the decode loop is a single jitted lax.scan over steps — one dispatch for
+    the whole generation (vs per-token Python dispatch in HF);
+  * a `stream()` variant steps one token per dispatch for interactive UIs;
+  * the engine is mesh-aware: with a ("data","model") mesh the decoder runs
+    TP-sharded (heads split over "model"), batch over "data".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import KVCache, llama_decode_step, llama_prefill
+from ..models.vlm import VLMConfig, effective_llama_params, prepare_multimodal_inputs
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 128
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_p: float = 1.0
+    eos_token_id: int = 2
+    pad_token_id: int = 0
+
+
+def _sample_token(logits: jnp.ndarray, rng: jax.Array,
+                  gen_cfg: GenerationConfig) -> jnp.ndarray:
+    """logits (B, V) → token ids (B,). Greedy or temperature/top-p."""
+    if not gen_cfg.do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / jnp.maximum(gen_cfg.temperature, 1e-6)
+    if gen_cfg.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(sorted_probs, axis=-1)
+        # keep the smallest set with cumulative prob >= top_p
+        cutoff_idx = jnp.sum(cum < gen_cfg.top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -1e30, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+class GenerationEngine:
+    def __init__(
+        self,
+        cfg: VLMConfig,
+        params,
+        *,
+        max_seq_len: int = 2304,  # 2048 text + 144 image + headroom
+        compute_dtype=jnp.bfloat16,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.compute_dtype = compute_dtype
+        self.cache_dtype = cache_dtype
+        self.max_seq_len = max_seq_len
+        # merge LoRA once at load (merge_and_unload parity, UniBind.py:110-116)
+        self.params = params
+        self.llama_params = jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            effective_llama_params(params, cfg, stop_base_gradient=False),
+        )
+        self._prefill_jit = jax.jit(
+            self._prefill, static_argnames=("batch", "cache_len"))
+        self._decode_scan_jit = {}
+        self._decode_step_jit = jax.jit(self._decode_step)
+
+    # -- jitted pieces ------------------------------------------------------
+
+    def _prefill(self, params, llama_params, input_ids, images, seq_lens,
+                 *, batch: int, cache_len: int):
+        spliced = prepare_multimodal_inputs(
+            params, self.cfg, input_ids, images,
+            attention_mask=jnp.arange(input_ids.shape[1])[None, :]
+            < seq_lens[:, None],
+            compute_dtype=self.compute_dtype,
+            llama_params=llama_params,
+        )
+        cache = KVCache.create(self.cfg.llama, batch, cache_len,
+                               dtype=self.cache_dtype)
+        logits, cache = llama_prefill(
+            llama_params, self.cfg.llama, cache,
+            inputs_embeds=spliced.inputs_embeds,
+            prompt_len=spliced.seq_len,
+            compute_dtype=self.compute_dtype,
+        )
+        return logits, cache
+
+    def _decode_step(self, llama_params, cache, tokens):
+        embeds = jnp.take(llama_params["embed_tokens"], tokens[:, None],
+                          axis=0)
+        logits, cache = llama_decode_step(
+            llama_params, self.cfg.llama, cache,
+            inputs_embeds=embeds, compute_dtype=self.compute_dtype)
+        return logits, cache
+
+    def _decode_scan(self, steps: int, gen_cfg: GenerationConfig):
+        key = (steps, gen_cfg)
+        if key in self._decode_scan_jit:
+            return self._decode_scan_jit[key]
+
+        def run(llama_params, cache, first_tokens, rng):
+            def body(carry, step_rng):
+                cache, tokens, done = carry
+                logits, cache = self._decode_step(llama_params, cache, tokens)
+                nxt = _sample_token(logits, step_rng, gen_cfg)
+                nxt = jnp.where(done, gen_cfg.pad_token_id, nxt)
+                done = done | (nxt == gen_cfg.eos_token_id)
+                return (cache, nxt, done), nxt
+
+            batch = first_tokens.shape[0]
+            done0 = first_tokens == gen_cfg.eos_token_id
+            rngs = jax.random.split(rng, steps)
+            (cache, _, _), toks = jax.lax.scan(
+                body, (cache, first_tokens, done0), rngs)
+            return toks.T, cache  # (B, steps)
+
+        fn = jax.jit(run)
+        self._decode_scan_jit[key] = fn
+        return fn
+
+    # -- public API ---------------------------------------------------------
+
+    def generate(
+        self,
+        input_ids: np.ndarray,  # (B, T) right-padded
+        seq_lens: np.ndarray,  # (B,)
+        images: Optional[np.ndarray] = None,  # (B, H, W, 3) uint8 or None
+        gen_cfg: Optional[GenerationConfig] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> List[List[int]]:
+        """Returns newly generated token ids per row (EOS excluded)."""
+        gen_cfg = gen_cfg or GenerationConfig()
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        batch, t = input_ids.shape
+        n_img = self.cfg.pooler.num_query if images is not None else 0
+        cache_len = min(
+            self.max_seq_len, t + n_img + gen_cfg.max_new_tokens)
+
+        logits, cache = self._prefill_jit(
+            self.params, self.llama_params, jnp.asarray(input_ids),
+            jnp.asarray(images) if images is not None else None,
+            jnp.asarray(seq_lens), batch=batch, cache_len=cache_len)
+
+        rng, r0, r1 = jax.random.split(rng, 3)
+        first = _sample_token(logits, r0, gen_cfg)
+        steps = gen_cfg.max_new_tokens - 1
+        if steps > 0:
+            toks, _ = self._decode_scan(steps, gen_cfg)(
+                self.llama_params, cache, first, r1)
+            all_toks = np.concatenate(
+                [np.asarray(first)[:, None], np.asarray(toks)], axis=1)
+        else:
+            all_toks = np.asarray(first)[:, None]
+
+        out: List[List[int]] = []
+        for row in all_toks:
+            ids = []
+            for tok in row.tolist():
+                if tok == gen_cfg.eos_token_id:
+                    break
+                ids.append(tok)
+            out.append(ids)
+        return out
+
+    def stream(
+        self,
+        input_ids: np.ndarray,  # (1, T)
+        seq_len: int,
+        images: Optional[np.ndarray] = None,
+        gen_cfg: Optional[GenerationConfig] = None,
+        rng: Optional[jax.Array] = None,
+        stop_fn: Optional[Callable[[List[int]], bool]] = None,
+    ) -> Iterator[int]:
+        """Single-sequence streaming: yields one token id per step
+        (TextStreamer/TextIteratorStreamer parity for the CLI/web UI)."""
+        gen_cfg = gen_cfg or GenerationConfig()
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        t = input_ids.shape[1]
+        n_img = self.cfg.pooler.num_query if images is not None else 0
+        cache_len = min(self.max_seq_len, t + n_img + gen_cfg.max_new_tokens)
+
+        logits, cache = self._prefill_jit(
+            self.params, self.llama_params, jnp.asarray(input_ids),
+            jnp.asarray(images) if images is not None else None,
+            jnp.asarray([seq_len], np.int32), batch=1,
+            cache_len=cache_len)
+
+        emitted: List[int] = []
+        tokens = None
+        for _ in range(gen_cfg.max_new_tokens):
+            rng, step_rng = jax.random.split(rng)
+            tok_arr = _sample_token(logits, step_rng, gen_cfg)
+            tok = int(tok_arr[0])
+            if tok == gen_cfg.eos_token_id:
+                return
+            emitted.append(tok)
+            yield tok
+            if stop_fn is not None and stop_fn(emitted):
+                return
+            logits, cache = self._decode_step_jit(
+                self.llama_params, cache, tok_arr)

@@ -1,0 +1,174 @@
+"""Data layer: conversation rendering goldens, tokenizer_image_token,
+label masking, collators."""
+
+import numpy as np
+import pytest
+
+from lhrs_bot_tpu.data import conversation as conv_lib
+from lhrs_bot_tpu.data.collate import GenerationCollator, SupervisedCollator
+from lhrs_bot_tpu.data.preprocess import (
+    preprocess,
+    preprocess_llama_2,
+    preprocess_multimodal,
+    preprocess_plain,
+    tokenizer_image_token,
+)
+from lhrs_bot_tpu.models.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+
+from .fake_tokenizer import FakeTokenizer
+
+
+@pytest.fixture
+def tok():
+    return FakeTokenizer()
+
+
+class TestConversation:
+    def test_llama2_prompt_golden(self):
+        conv = conv_lib.get_conversation("llava_llama_2")
+        conv.append_message(conv.roles[0], "<image>\nWhat is this?")
+        conv.append_message(conv.roles[1], "A river.")
+        prompt = conv.get_prompt()
+        expected = (
+            "[INST] <<SYS>>\n" + conv.system + "\n<</SYS>>\n\n"
+            "<image>\nWhat is this? [/INST] A river. </s>")
+        assert prompt == expected
+
+    def test_llama2_multiturn_separators(self):
+        conv = conv_lib.get_conversation("llava_llama_2")
+        conv.append_message(conv.roles[0], "q1")
+        conv.append_message(conv.roles[1], "a1")
+        conv.append_message(conv.roles[0], "q2")
+        conv.append_message(conv.roles[1], "a2")
+        prompt = conv.get_prompt()
+        assert prompt.count("[INST]") == 2
+        assert prompt.count("</s>") == 2
+        assert "</s><s>[INST] q2 [/INST] a2 </s>" in prompt
+
+    def test_llama2_generation_prompt_ends_with_inst(self):
+        conv = conv_lib.get_conversation("llava_llama_2")
+        conv.append_message(conv.roles[0], "question")
+        conv.append_message(conv.roles[1], None)
+        assert conv.get_prompt().endswith("[/INST]")
+
+    def test_plain_prompt(self):
+        conv = conv_lib.get_conversation("plain")
+        conv.append_message(conv.roles[0], "<image>")
+        conv.append_message(conv.roles[1], "a scene")
+        assert conv.get_prompt() == "<image>\na scene"
+
+    def test_v1_two_style(self):
+        conv = conv_lib.get_conversation("llava_v1")
+        conv.append_message(conv.roles[0], "hi")
+        conv.append_message(conv.roles[1], "hello")
+        p = conv.get_prompt()
+        assert p.endswith("USER: hi ASSISTANT: hello</s>")
+
+
+class TestTokenizerImageToken:
+    def test_single_image_token(self, tok):
+        ids = tokenizer_image_token("hello <image> world", tok)
+        assert ids.count(IMAGE_TOKEN_INDEX) == 1
+        assert ids[0] == tok.bos_token_id
+        # surrounding words survive
+        assert len(ids) == 1 + 1 + 1 + 1  # bos hello -200 world
+
+    def test_no_image(self, tok):
+        ids = tokenizer_image_token("just text", tok)
+        assert IMAGE_TOKEN_INDEX not in ids
+        assert ids == tok("just text").input_ids
+
+    def test_leading_image(self, tok):
+        ids = tokenizer_image_token("<image>\ncaption here", tok)
+        assert ids[0] == tok.bos_token_id
+        assert ids[1] == IMAGE_TOKEN_INDEX
+
+
+class TestPreprocess:
+    def test_plain_masks_question(self, tok):
+        conv_lib.set_default_conversation("plain")
+        out = preprocess_plain(
+            [{"Question": "<image>", "Answer": "green field"}], tok)
+        ids, labels = out["input_ids"][0], out["labels"][0]
+        q_len = len(tokenizer_image_token("<image>", tok))
+        assert (labels[:q_len] == IGNORE_INDEX).all()
+        assert (labels[q_len:] != IGNORE_INDEX).any()
+        np.testing.assert_array_equal(ids[q_len:], labels[q_len:])
+
+    def test_llama2_masks_instruction_keeps_answer(self, tok):
+        conv_lib.set_default_conversation("llava_llama_2")
+        sources = [{"Question": "<image>\ndescribe", "Answer": "lake and trees"}]
+        out = preprocess(preprocess_multimodal(sources), tok, has_image=True)
+        ids, labels = out["input_ids"][0], out["labels"][0]
+        assert ids[0] == tok.bos_token_id
+        # the image token is inside the masked instruction span
+        img_pos = int(np.argmax(ids == IMAGE_TOKEN_INDEX))
+        assert labels[img_pos] == IGNORE_INDEX
+        # answer tokens visible
+        ans_ids = tok("lake and trees").input_ids[1:]
+        visible = labels[labels != IGNORE_INDEX]
+        for a in ans_ids:
+            assert a in visible
+        # nothing before [/INST]-end is visible: find first visible index
+        first_vis = int(np.argmax(labels != IGNORE_INDEX))
+        assert first_vis > img_pos
+
+    def test_llama2_multiturn_masks_both_instructions(self, tok):
+        conv_lib.set_default_conversation("llava_llama_2")
+        sources = [
+            {"Question": "<image>\nfirst query", "Answer": "alpha beta"},
+            {"Question": "second query", "Answer": "gamma delta"},
+        ]
+        out = preprocess(preprocess_multimodal(sources), tok, has_image=True)
+        labels = out["labels"][0]
+        vis = labels[labels != IGNORE_INDEX]
+        for a in tok("alpha beta").input_ids[1:] + tok("gamma delta").input_ids[1:]:
+            assert a in vis
+        assert tok("second").input_ids[1] not in vis  # instruction masked
+
+    def test_multimodal_moves_image_to_front(self):
+        out = preprocess_multimodal(
+            [{"Question": "describe <image> now", "Answer": "x"}])
+        assert out[0]["Question"].startswith("<image>\n")
+        assert "<image>" not in out[0]["Question"][len("<image>"):]
+
+
+class TestCollators:
+    def _items(self, tok, lens=(5, 9)):
+        items = []
+        for n in lens:
+            ids = list(range(10, 10 + n))
+            items.append({
+                "input_ids": np.asarray(ids),
+                "labels": np.asarray(ids),
+                "image": np.zeros((28, 28, 3), np.uint8),
+            })
+        return items
+
+    def test_supervised_right_pad(self, tok):
+        coll = SupervisedCollator(tok, pad_multiple=8)
+        batch = coll(self._items(tok))
+        assert batch["input_ids"].shape == (2, 16)
+        assert batch["input_ids"][0, 5] == tok.pad_token_id
+        assert batch["labels"][0, 5] == IGNORE_INDEX
+        assert batch["attention_mask"][0, :5].all()
+        assert not batch["attention_mask"][0, 5:].any()
+        assert batch["images"].shape == (2, 28, 28, 3)
+
+    def test_generation_collator_lengths(self, tok):
+        coll = GenerationCollator(tok, pad_multiple=8)
+        batch = coll(self._items(tok))
+        np.testing.assert_array_equal(batch["seq_lens"], [5, 9])
+        assert batch["input_ids"][1, 8] == 18  # last real token, right-pad
+
+    def test_generation_collator_left_pad(self, tok):
+        coll = GenerationCollator(tok, pad_multiple=8, left_pad=True)
+        batch = coll(self._items(tok))
+        assert batch["input_ids"][0, 0] == tok.pad_token_id
+        assert batch["input_ids"][0, -5] == 10
+
+    def test_truncation(self, tok):
+        coll = SupervisedCollator(tok, pad_multiple=8, max_length=8)
+        items = self._items(tok, lens=(20,))
+        batch = coll(items)
+        assert batch["input_ids"].shape == (1, 8)

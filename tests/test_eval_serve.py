@@ -1,0 +1,161 @@
+"""Eval metrics + generation engine tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lhrs_bot_tpu.eval.metrics import (
+    EvalAIAnswerProcessor,
+    TextVQAAccuracyEvaluator,
+    balanced_accuracy,
+    bench_accuracy,
+    calculate_iou,
+    classname_to_idx,
+    grounding_accuracy,
+    longest_common_substring_index,
+    normalize_answer,
+    parse_bbox,
+)
+from lhrs_bot_tpu.models import (
+    IMAGE_TOKEN_INDEX,
+    VLMConfig,
+    init_vlm_params,
+    llama_apply,
+)
+from lhrs_bot_tpu.serve.engine import GenerationConfig, GenerationEngine
+from lhrs_bot_tpu.utils.eval_utils import make_token_stopper
+
+
+class TestClsMetrics:
+    def test_fuzzy_match(self):
+        classes = {"dense residential": 0, "river": 1, "forest": 2}
+        preds = ["river", "a forest area", "dense residential zone"]
+        assert classname_to_idx(preds, classes) == [1, 2, 0]
+
+    def test_balanced_accuracy(self):
+        y_true = [0, 0, 1, 1, 1, 1]
+        y_pred = [0, 1, 1, 1, 1, 1]
+        # class0 recall .5, class1 recall 1.0 → balanced .75
+        assert balanced_accuracy(y_true, y_pred) == pytest.approx(0.75)
+
+
+class TestVQAMetrics:
+    def test_processor_normalizes(self):
+        p = EvalAIAnswerProcessor()
+        assert p("Yes!") == "yes"
+        assert p("Three") == "3"
+        assert p("The river") == "river"
+
+    def test_soft_accuracy(self):
+        ev = TextVQAAccuracyEvaluator()
+        preds = [
+            {"pred": "yes", "target": "yes", "types": "presence"},
+            {"pred": "no", "target": "yes", "types": "presence"},
+            {"pred": "two", "target": "2", "types": "comp"},
+        ]
+        acc, per_type = ev.eval_pred_list(preds)
+        assert acc == pytest.approx(2 / 3)
+        assert per_type["presence"] == pytest.approx(0.5)
+        assert per_type["comp"] == pytest.approx(1.0)
+
+
+class TestVGMetrics:
+    def test_parse_bbox(self):
+        assert parse_bbox("here [10, 20, 30, 40] done") == [10, 20, 30, 40]
+        assert parse_bbox("[1,2,3,4,5,6]") == [1, 2, 3, 4]
+        assert parse_bbox("[1, 2]") is None
+        assert parse_bbox("no box") is None
+
+    def test_iou_and_accuracy(self):
+        assert calculate_iou([0, 0, 10, 10], [0, 0, 10, 10]) == 1.0
+        assert calculate_iou([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+        res = grounding_accuracy(
+            ["[0,0,10,10]", "[100,100,110,110]", "garbage"],
+            [[0, 0, 10, 10], [0, 0, 10, 10], [0, 0, 10, 10]])
+        assert res["accuracy_parsed"] == pytest.approx(0.5)
+        assert res["accuracy_all"] == pytest.approx(1 / 3)
+        assert res["parse_failures"] == 1
+
+
+class TestBenchMetrics:
+    def test_normalize(self):
+        assert normalize_answer("The Answer.") == "answer"
+        assert normalize_answer("A") == ""
+
+    def test_per_type(self):
+        total, per = bench_accuracy([
+            {"pred": "B.", "answer": "B", "qtype": "color"},
+            {"pred": "C", "answer": "B", "qtype": ["color", "shape"]},
+        ])
+        assert total == pytest.approx(0.5)
+        assert per["color"] == pytest.approx(0.5)
+        assert per["shape"] == pytest.approx(0.0)
+
+
+class TestEngine:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        engine = GenerationEngine(cfg, params, max_seq_len=96,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.float32)
+        return cfg, params, engine
+
+    def test_greedy_matches_cacheless_forward(self, setup):
+        cfg, params, engine = setup
+        rng = np.random.default_rng(0)
+        ids = rng.integers(3, 200, size=(2, 8)).astype(np.int32)
+        seq_lens = np.asarray([8, 6], np.int32)
+        ids[1, 6:] = 0
+        gen = engine.generate(ids, seq_lens,
+                              gen_cfg=GenerationConfig(max_new_tokens=4))
+        # oracle: roll the cacheless forward manually, greedy
+        for row in range(2):
+            cur = list(ids[row, :seq_lens[row]])
+            expect = []
+            for _ in range(4):
+                logits = llama_apply(
+                    engine.llama_params, cfg.llama,
+                    input_ids=jnp.asarray([cur]), compute_dtype=jnp.float32)
+                nxt = int(jnp.argmax(logits[0, -1]))
+                if nxt == cfg.llama.eos_token_id:
+                    break
+                expect.append(nxt)
+                cur.append(nxt)
+            assert gen[row] == expect
+
+    def test_multimodal_generate_runs(self, setup):
+        cfg, params, engine = setup
+        ids = np.full((1, 6), 7, np.int32)
+        ids[0, 1] = IMAGE_TOKEN_INDEX
+        out = engine.generate(
+            ids, np.asarray([6], np.int32),
+            images=np.zeros((1, 28, 28, 3), np.uint8),
+            gen_cfg=GenerationConfig(max_new_tokens=3))
+        assert len(out) == 1 and len(out[0]) <= 3
+
+    def test_stream_matches_generate(self, setup):
+        cfg, params, engine = setup
+        ids = np.full((1, 5), 11, np.int32)
+        gcfg = GenerationConfig(max_new_tokens=4)
+        batch_out = engine.generate(ids, np.asarray([5], np.int32),
+                                    gen_cfg=gcfg)
+        stream_out = list(engine.stream(ids, 5, gen_cfg=gcfg))
+        assert stream_out == batch_out[0]
+
+    def test_sampling_respects_temperature_zeroish(self, setup):
+        cfg, params, engine = setup
+        ids = np.full((1, 5), 11, np.int32)
+        gcfg = GenerationConfig(max_new_tokens=3, do_sample=True,
+                                temperature=1e-4, top_p=1.0)
+        sampled = engine.generate(ids, np.asarray([5], np.int32), gen_cfg=gcfg)
+        greedy = engine.generate(ids, np.asarray([5], np.int32),
+                                 gen_cfg=GenerationConfig(max_new_tokens=3))
+        assert sampled == greedy
+
+    def test_token_stopper(self):
+        stop = make_token_stopper([42])
+        assert not stop([1, 2])
+        assert stop([1, 42])
