@@ -1,0 +1,106 @@
+"""Shared CLI bootstrap for the main_* entry points.
+
+Covers the common preamble of the reference scripts (config parse → logger →
+seed → model/tokenizer build → checkpoint load; e.g.
+main_pretrain_stage1.py:88-175, main_cls.py:65-121): one YAML+CLI config
+surface, deterministic seeding, mesh construction, engine assembly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..models.vlm import VLMConfig
+from ..utils.logger import setup_logger
+from .config import ConfigArgumentParser, ConfigDict
+
+
+def add_common_args(parser: ConfigArgumentParser) -> None:
+    parser.add_argument("--model-path", type=str, default=None,
+                        help="path to FINAL.pt checkpoint")
+    parser.add_argument("--data-path", type=str, default=None)
+    parser.add_argument("--eval-path", type=str, default=None)
+    parser.add_argument("--data-target", type=str, default=None)
+    parser.add_argument("--output", type=str, default="output")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--seed", type=int, default=322)
+    parser.add_argument("--auto-resume", action="store_true")
+    parser.add_argument("--use-checkpoint", action="store_true",
+                        help="gradient (re)materialization")
+    parser.add_argument("--enable-amp", type=lambda s: s.lower() == "true",
+                        default=True, help="bf16 compute (fp16 configs map "
+                        "to bf16 on TPU)")
+    parser.add_argument("--dp", type=int, default=None,
+                        help="data-parallel mesh size")
+    parser.add_argument("--tp", type=int, default=None,
+                        help="tensor-parallel mesh size")
+    parser.add_argument("--wandb", action="store_true")
+
+
+def parse_config(description: str, extra=None, args=None) -> ConfigDict:
+    parser = ConfigArgumentParser(description=description)
+    add_common_args(parser)
+    if extra is not None:
+        extra(parser)
+    config = parser.parse_args(args)
+    import jax
+
+    config["rank"] = jax.process_index()
+    config["world_size"] = jax.process_count()
+    config["is_distribute"] = config["world_size"] > 1
+    return config
+
+
+def set_random_seed(seed: int, rank: int = 0) -> None:
+    """Deterministic per-process seeding (misc.py:97 + seed+rank convention
+    of main_pretrain_stage1.py:281-287)."""
+    random.seed(seed + rank)
+    np.random.seed(seed + rank)
+
+
+def setup(config, name: str = "lhrs_tpu"):
+    logger = setup_logger(name, output=config.output, rank=config.rank)
+    set_random_seed(int(config.seed), int(config.rank))
+    os.makedirs(config.output, exist_ok=True)
+    if config.rank == 0:
+        with open(os.path.join(config.output, "config.json"), "w") as fh:
+            fh.write(config.to_json(indent=2, default=str))
+    return logger
+
+
+def build_model_and_tokenizer(config, *, eval_mode: bool = False):
+    """VLMConfig + params (with every available artifact overlaid) +
+    tokenizer."""
+    import jax.numpy as jnp
+
+    from ..data.tokenizer import load_tokenizer
+    from . import model_io
+
+    cfg = VLMConfig.from_config_dict(config)
+    params = model_io.load_pretrained(
+        cfg,
+        model_path=getattr(config, "model_path", None),
+        vit_path=getattr(config.rgb_vision, "vit_name", None),
+        llama_path=getattr(config.text, "path", None),
+    )
+    tokenizer = load_tokenizer(
+        config.text.path,
+        model_max_length=int(config.text.max_position_embeddings))
+    return cfg, params, tokenizer
+
+
+def build_engine(cfg, params, config):
+    import jax.numpy as jnp
+
+    from ..serve.engine import GenerationEngine
+
+    return GenerationEngine(
+        cfg, params,
+        max_seq_len=int(config.text.max_position_embeddings) + 256,
+    )

@@ -1,0 +1,111 @@
+"""Model-level checkpoint orchestration.
+
+Parity with UniBind's custom checkpoint protocol (lhrs/models/UniBind.py):
+  * custom_load_state_dict (:83-117): FINAL.pt's rgb_ckpt → vision tower,
+    other_ckpt["rgb_pooler"] → perceiver; if a sibling TextLoRA/ directory
+    exists, attach the adapters, and at eval (stage==0) fold them into the
+    base weights (merge_and_unload);
+  * custom_save_checkpoint (:68-81): export FINAL.pt {rgb_ckpt, other_ckpt}
+    (+ TextLoRA/ when LoRA is active).
+
+Base HF weights (CLIP ViT + LLaMA-2) load from the paths in the YAML config
+(rgb_vision.vit_name / text.path) when they exist locally.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.lora import merge_lora
+from ..models.vlm import VLMConfig, init_vlm_params
+from . import torch_import as ti
+
+logger = logging.getLogger("lhrs_tpu")
+
+
+def load_pretrained(
+    cfg: VLMConfig,
+    *,
+    model_path: Optional[str] = None,  # FINAL.pt (config.model_path)
+    vit_path: Optional[str] = None,  # HF CLIP dir (rgb_vision.vit_name)
+    llama_path: Optional[str] = None,  # HF LLaMA dir (text.path)
+    rng: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> Dict:
+    """Build params: random init, then overlay whatever artifacts exist."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    params = init_vlm_params(rng, cfg, dtype)
+
+    def as_tree(np_tree, like):
+        return jax.tree_util.tree_map(
+            lambda a, ref: jnp.asarray(a, ref.dtype), np_tree, like)
+
+    if vit_path and os.path.isdir(vit_path):
+        logger.info("loading CLIP vision tower from %s", vit_path)
+        params["vit"] = as_tree(
+            ti.load_hf_clip_vision(vit_path, cfg.vit), params["vit"])
+    if llama_path and os.path.isdir(llama_path):
+        logger.info("loading LLaMA decoder from %s", llama_path)
+        params["llama"] = as_tree(
+            ti.load_hf_llama(llama_path, cfg.llama), params["llama"])
+
+    if model_path and os.path.exists(model_path):
+        logger.info("loading FINAL checkpoint from %s", model_path)
+        loaded = ti.load_final_pt(model_path, cfg.vit, cfg.pooler)
+        if "vit" in loaded:
+            params["vit"] = as_tree(loaded["vit"], params["vit"])
+        if "pooler" in loaded:
+            params["pooler"] = as_tree(loaded["pooler"], params["pooler"])
+        for key, val in loaded.get("extra", {}).items():
+            if "embed_tokens" in key and val.shape == params[
+                    "llama"]["embed_tokens"].shape:
+                params["llama"]["embed_tokens"] = jnp.asarray(val, dtype)
+            if "lm_head" in key:
+                w = val.T if val.shape[0] == cfg.llama.vocab_size else val
+                if w.shape == params["llama"]["lm_head"].shape:
+                    params["llama"]["lm_head"] = jnp.asarray(w, dtype)
+
+        # TextLoRA detect-and-merge (UniBind.py:105-116)
+        lora_dir = os.path.join(os.path.dirname(model_path), "TextLoRA")
+        r = cfg.lora.r if cfg.lora else 128
+        alpha = cfg.lora.alpha if cfg.lora else 256
+        lora = ti.load_text_lora(lora_dir, cfg.llama, r, alpha)
+        if lora is not None:
+            logger.info("found TextLoRA adapters at %s", lora_dir)
+            lora = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype), lora)
+            if cfg.stage == 0:
+                # eval: merge_and_unload — fold into base weights
+                from ..models.lora import LoraConfig
+
+                lcfg = cfg.lora or LoraConfig(r=r, alpha=alpha)
+                params["llama"]["layers"] = merge_lora(
+                    params["llama"]["layers"], lora, lcfg,
+                    stop_base_gradient=False)
+            else:
+                params["lora"] = lora
+    if cfg.stage == 0:
+        # eval never carries live adapters (they are merged or absent)
+        params.pop("lora", None)
+    return params
+
+
+def save_final(output_dir: str, params: Dict, cfg: VLMConfig,
+               filename: str = "FINAL.pt") -> str:
+    """custom_save_checkpoint parity: FINAL.pt + TextLoRA/ (when present)."""
+    os.makedirs(output_dir, exist_ok=True)
+    host = jax.tree_util.tree_map(
+        lambda x: jax.device_get(x) if hasattr(x, "dtype") else x, params)
+    path = os.path.join(output_dir, filename)
+    ti.export_final_pt(path, host, cfg.vit, cfg.pooler)
+    if "lora" in host and cfg.lora is not None:
+        ti.export_text_lora(os.path.join(output_dir, "TextLoRA"),
+                            host["lora"], cfg.llama, cfg.lora.r,
+                            cfg.lora.alpha)
+    logger.info("saved final checkpoint to %s", path)
+    return path

@@ -1,0 +1,83 @@
+"""Loader factory.
+
+Parity with lhrs/Dataset/build_loader.py:26-235: stage-1 pretraining uses the
+caption→VQA dataset, stages ≥2 use instruction data (optionally weighted
+source mixing via weight_sample), zero-shot cls eval builds the folder
+datasets; sampler/shuffle/drop_last policy follows the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Tuple
+
+from .collate import GenerationCollator, SupervisedCollator
+from .datasets import (
+    CaptionDatasetVQA,
+    FolderClassificationDataset,
+    InstructDataset,
+    InstructDatasetWithTaskId,
+    RSVQADataset,
+)
+from .loader import DataLoader, ShardedSampler, WeightedShardedSampler
+
+logger = logging.getLogger("lhrs_tpu")
+
+
+def build_loader(config, tokenizer, mode: str = "pretrain",
+                 rank: int = 0, world_size: int = 1) -> DataLoader:
+    if mode == "pretrain":
+        return _build_vlp_loader(config, tokenizer, rank, world_size)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def _build_vlp_loader(config, tokenizer, rank, world_size) -> DataLoader:
+    stage = int(getattr(config, "stage", 1))
+    data_path = config.data_path
+    prompt_type = getattr(config, "prompt_template", "plain")
+    image_size = int(config.rgb_vision.input_size[0])
+
+    if stage <= 1:
+        dataset = CaptionDatasetVQA(
+            data_path, tokenizer, image_size=image_size,
+            prompt_type=prompt_type)
+        sampler = None
+    else:
+        jsons = sorted(
+            os.path.join(data_path, f) for f in os.listdir(data_path)
+            if f.endswith(".json"))
+        roots = [os.path.splitext(j)[0] + "_Image" for j in jsons]
+        roots = [r if os.path.isdir(r) else data_path for r in roots]
+        if getattr(config, "weight_sample", False):
+            dataset = InstructDatasetWithTaskId(
+                jsons, roots, tokenizer, image_size=image_size,
+                prompt_type=prompt_type)
+            sampler = WeightedShardedSampler(
+                dataset.sample_weights, num_samples=len(dataset),
+                rank=rank, world_size=world_size,
+                seed=int(getattr(config, "seed", 0)))
+        else:
+            dataset = InstructDataset(
+                jsons, roots, tokenizer, image_size=image_size,
+                prompt_type=prompt_type)
+            sampler = None
+
+    return DataLoader(
+        dataset,
+        batch_size=int(config.batch_size),
+        collate_fn=SupervisedCollator(tokenizer),
+        sampler=sampler,
+        num_workers=int(getattr(config, "workers", 4)),
+        rank=rank, world_size=world_size,
+        seed=int(getattr(config, "seed", 0)),
+    )
+
+
+def build_zero_shot_loader(config, rank: int = 0,
+                           world_size: int = 1) -> Tuple:
+    """Classification eval loader (build_loader.py:167-199): returns
+    (dataset, class_names)."""
+    dataset = FolderClassificationDataset(
+        config.data_path, image_size=int(config.rgb_vision.input_size[0]))
+    return dataset, dataset.class_names

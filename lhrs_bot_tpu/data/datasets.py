@@ -330,6 +330,141 @@ class RSVQADataset:
         }
 
 
+class VGEvalDataset:
+    """Visual-grounding eval over DIOR-RSVG / RSVG JSON
+    (cap_dataset.py:186-259): items carry a referring question and a target
+    bbox; prompts are "<image>" + question, llama_2-rendered."""
+
+    def __init__(self, root: str, target_json: str, tokenizer,
+                 image_size: int = 224,
+                 prompt_type: str = "llava_llama_2"):
+        self.root = root
+        self.tokenizer = tokenizer
+        self.image_size = image_size
+        conversation_lib.set_default_conversation(prompt_type)
+        with open(target_json) as fh:
+            data = json.load(fh)["data"]
+        stem = os.path.splitext(os.path.basename(target_json))[0]
+        self.items = []
+        for item in data:
+            if stem.endswith("DIOR_test"):
+                img = item["img"] + ".jpg"
+            elif stem.endswith("RSVG_test"):
+                img = item["img"]
+            else:
+                img = item.get("name") or item.get("img")
+            path = os.path.join(root, img)
+            if os.path.exists(path):
+                self.items.append({
+                    "image_path": path,
+                    "question": item["question"],
+                    "answer": item["answer"],
+                })
+        logger.info("VGEvalDataset: %d samples", len(self.items))
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> Dict:
+        item = self.items[idx]
+        sources = preprocess_multimodal(
+            [{"Question": DEFAULT_IMAGE_TOKEN + item["question"],
+              "Answer": None}])
+        out = preprocess(sources, self.tokenizer, has_image=True)
+        return {
+            "input_ids": np.asarray(out["input_ids"][0]),
+            "image": _load_image(item["image_path"], self.image_size),
+            "target": item["answer"],
+            "filename": os.path.basename(item["image_path"]),
+        }
+
+
+class CapEvalDataset:
+    """Caption eval: images + gold captions for COCO-style metrics
+    (cap_dataset.py:263-327 format sniffers)."""
+
+    def __init__(self, root: str, target_json: str, tokenizer=None,
+                 image_size: int = 224):
+        self.root = root
+        self.image_size = image_size
+        with open(target_json) as fh:
+            data = json.load(fh)
+        self.items: List[Dict] = []
+        stem = os.path.basename(root)
+        if "TextRS" in stem and "TextRS" in data:
+            for rec in data["TextRS"]:
+                self._add(rec["image"] + ".png",
+                          rec["annotation"]["caption"][0])
+        elif "images" in data and data["images"] and "SubFolder" in data[
+                "images"][0]:
+            for rec in data["images"]:
+                self._add(os.path.join(rec["SubFolder"], rec["ImageName"]),
+                          rec["Caption"])
+        elif "images" in data:
+            for rec in data["images"]:
+                cap = rec.get("sentences", [{}])[0].get("raw") or rec.get(
+                    "Caption")
+                self._add(rec["filename"], cap)
+        else:  # NWPU: {subfolder: [{filename, raw}]}
+            for sub, recs in data.items():
+                for rec in recs:
+                    self._add(os.path.join(sub, rec["filename"]), rec["raw"])
+
+    def _add(self, rel: str, caption: Optional[str]) -> None:
+        path = os.path.join(self.root, rel)
+        if caption and os.path.exists(path):
+            self.items.append({"image_path": path, "caption": caption})
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> Dict:
+        item = self.items[idx]
+        return {
+            "image": _load_image(item["image_path"], self.image_size),
+            "caption": item["caption"],
+            "filename": os.path.basename(item["image_path"]),
+        }
+
+
+class LHRSBenchDataset:
+    """LHRS-Bench multiple-choice QA: {data, qtype} JSON
+    (main_bench_gen.py:186-215). Yields one record per qa_pair."""
+
+    def __init__(self, image_root: str, target_json: str,
+                 image_size: int = 224):
+        self.image_root = image_root
+        self.image_size = image_size
+        with open(target_json) as fh:
+            qa = json.load(fh)
+        self.id_to_type = {}
+        for key in qa.get("qtype", {}):
+            parts = key.split(" ")
+            self.id_to_type[parts[0]] = parts[1] if len(parts) > 1 else key
+        self.items = []
+        for rec in qa["data"]:
+            path = os.path.join(image_root, rec["filename"])
+            if not os.path.exists(path):
+                continue
+            for pair in rec["qa_pairs"]:
+                self.items.append({
+                    "image_path": path,
+                    "question": pair["question"],
+                    "choices": pair["choices"],
+                    "answer": pair["answer"],
+                    "type": pair["type"],
+                })
+        logger.info("LHRSBenchDataset: %d qa pairs", len(self.items))
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> Dict:
+        item = dict(self.items[idx])
+        item["image"] = _load_image(item.pop("image_path"), self.image_size)
+        return item
+
+
 class FolderClassificationDataset:
     """ImageFolder-style scene classification (AID/NWPU/…): class = subdir
     name (ImageFolderInstance.py:5-57)."""

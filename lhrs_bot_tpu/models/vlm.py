@@ -54,16 +54,35 @@ class VLMConfig:
 
     @classmethod
     def from_config_dict(cls, cfg) -> "VLMConfig":
-        vit = (ViTConfig.vit_large() if cfg.rgb_vision.arch == "vit_large"
-               else ViTConfig.vit_base())
+        arch = cfg.rgb_vision.arch
+        if arch == "vit_large":
+            vit = ViTConfig.vit_large()
+        elif arch == "vit_base":
+            vit = ViTConfig.vit_base()
+        elif arch in ("vit_tiny", "vit_tiny_test"):
+            vit = ViTConfig.tiny_test()
+        else:
+            raise ValueError(f"unknown rgb_vision.arch {arch!r}")
         ap = cfg.rgb_vision.attn_pooler
+        default_stages = ((64, 48, 32) if ap.num_query == 144
+                          else None)
+        stage_num = tuple(ap.get("stage_num") or default_stages
+                          or (ap.num_query // 2,
+                              ap.num_query - ap.num_query // 2 -
+                              ap.num_query // 4,
+                              ap.num_query // 4))
         pooler = PerceiverConfig(
             num_query=ap.num_query, num_layers=ap.num_layers,
             heads=ap.num_attn_heads, hidden_size=vit.width,
             encoder_hidden_size=vit.width, output_size=cfg.text.hidden_size,
+            stage_num=stage_num,
+            split_part=(vit.num_patches,) * len(stage_num),
         )
+        # stage 3 trains the stage-2 adapters loaded from TextLoRA/ even
+        # though its yaml has lora.enable False (UniBind.py:105-116 semantics)
         lora = (LoraConfig.from_config_dict(cfg.lora)
-                if getattr(cfg, "lora", None) and cfg.lora.enable else None)
+                if getattr(cfg, "lora", None)
+                and (cfg.lora.enable or cfg.stage == 3) else None)
         return cls(
             vit=vit, pooler=pooler,
             llama=LlamaConfig.from_config_dict(cfg.text), lora=lora,

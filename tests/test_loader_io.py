@@ -1,0 +1,199 @@
+"""Loader/sampler/tar-reader/tokenizer-fallback/model-io tests."""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from lhrs_bot_tpu.data.loader import (
+    DataLoader,
+    InfiniteSampler,
+    ShardedSampler,
+    WeightedShardedSampler,
+)
+from lhrs_bot_tpu.data.tario import TarShardDataset, braceexpand, default_decoder
+from lhrs_bot_tpu.data.tokenizer import make_fallback_tokenizer
+
+
+class TestSamplers:
+    def test_sharded_partitions_everything(self):
+        idx = set()
+        for rank in range(4):
+            s = ShardedSampler(10, rank=rank, world_size=4, shuffle=False)
+            idx.update(iter(s))
+        assert idx == set(range(10))
+
+    def test_sharded_epoch_reshuffles(self):
+        s = ShardedSampler(32, shuffle=True, seed=1)
+        s.set_epoch(0)
+        a = list(s)
+        s.set_epoch(1)
+        b = list(s)
+        assert a != b and sorted(a) == sorted(b)
+
+    def test_weighted_prefers_heavy(self):
+        w = [0.01] * 50 + [1.0] * 50
+        s = WeightedShardedSampler(w, num_samples=1000, seed=0)
+        picks = list(s)
+        heavy = sum(1 for i in picks if i >= 50)
+        assert heavy > 900
+
+    def test_infinite_wraps(self):
+        s = InfiniteSampler(4, shuffle=False)
+        it = iter(s)
+        got = [next(it) for _ in range(10)]
+        assert got[:8] == [0, 1, 2, 3, 0, 1, 2, 3]
+
+
+class TestDataLoader:
+    class _DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((3,), i)}
+
+    def test_batches_and_len(self):
+        coll = lambda items: {"x": np.stack([it["x"] for it in items])}
+        dl = DataLoader(self._DS(), batch_size=3, collate_fn=coll,
+                        num_workers=2, shuffle=False)
+        batches = list(dl)
+        assert len(dl) == 3 and len(batches) == 3
+        assert batches[0]["x"].shape == (3, 3)
+
+    def test_worker_error_propagates(self):
+        class Bad:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                raise RuntimeError("boom")
+
+        dl = DataLoader(Bad(), batch_size=2,
+                        collate_fn=lambda x: x, num_workers=1)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(dl)
+
+
+class TestTarIO:
+    def _make_shard(self, path, n=5, corrupt_one=False):
+        from PIL import Image
+
+        with tarfile.open(path, "w") as tf:
+            for i in range(n):
+                img = Image.fromarray(
+                    np.random.default_rng(i).integers(
+                        0, 255, (32, 32, 3)).astype(np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG")
+                data = buf.getvalue()
+                if corrupt_one and i == 2:
+                    data = b"not a jpeg"
+                info = tarfile.TarInfo(f"sample{i:04d}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                txt = f"caption number {i}".encode()
+                info = tarfile.TarInfo(f"sample{i:04d}.txt")
+                info.size = len(txt)
+                tf.addfile(info, io.BytesIO(txt))
+
+    def test_braceexpand(self):
+        assert braceexpand("s-{00..02}.tar") == [
+            "s-00.tar", "s-01.tar", "s-02.tar"]
+        assert braceexpand("plain.tar") == ["plain.tar"]
+
+    def test_stream_and_corrupt_skip(self, tmp_path):
+        p1 = str(tmp_path / "a.tar")
+        p2 = str(tmp_path / "b.tar")
+        self._make_shard(p1, 5, corrupt_one=True)
+        self._make_shard(p2, 3)
+        ds = TarShardDataset([p1, p2], shuffle_buffer=0, shuffle_shards=False)
+        samples = list(ds)
+        # 8 total, 1 corrupt skipped
+        assert len(samples) == 7
+        assert samples[0]["rgb"].shape == (32, 32, 3)
+        assert samples[0]["text"].startswith("caption")
+
+    def test_rank_split(self, tmp_path):
+        paths = []
+        for i in range(4):
+            p = str(tmp_path / f"s{i}.tar")
+            self._make_shard(p, 2)
+            paths.append(p)
+        n0 = len(list(TarShardDataset(paths, rank=0, world_size=2,
+                                      shuffle_shards=False,
+                                      shuffle_buffer=0)))
+        n1 = len(list(TarShardDataset(paths, rank=1, world_size=2,
+                                      shuffle_shards=False,
+                                      shuffle_buffer=0)))
+        assert n0 == n1 == 4
+
+
+class TestFallbackTokenizer:
+    def test_roundtrip_and_specials(self):
+        tok = make_fallback_tokenizer()
+        ids = tok("hello world").input_ids
+        assert ids[0] == tok.bos_token_id == 1
+        assert tok.pad_token_id == 0 and tok.eos_token_id == 2
+        assert tok.decode(ids, skip_special_tokens=True) == "hello world"
+
+    def test_works_with_image_token_splice(self):
+        from lhrs_bot_tpu.data.preprocess import tokenizer_image_token
+        from lhrs_bot_tpu.models.constants import IMAGE_TOKEN_INDEX
+
+        tok = make_fallback_tokenizer()
+        ids = tokenizer_image_token("a <image> b", tok)
+        assert ids.count(IMAGE_TOKEN_INDEX) == 1
+
+
+class TestModelIO:
+    def test_save_and_load_final_roundtrip(self, tmp_path):
+        import jax
+
+        from lhrs_bot_tpu.core.model_io import load_pretrained, save_final
+        from lhrs_bot_tpu.models import VLMConfig, init_vlm_params
+
+        cfg = VLMConfig.tiny_test(stage=2, lora=True)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        # nonzero lora B so the roundtrip matters
+        params["lora"] = jax.tree_util.tree_map(
+            lambda x: x + 0.01, params["lora"])
+        save_final(str(tmp_path), params, cfg)
+        assert os.path.exists(tmp_path / "FINAL.pt")
+        assert os.path.exists(tmp_path / "TextLoRA" / "adapter_model.bin")
+
+        reloaded = load_pretrained(
+            cfg, model_path=str(tmp_path / "FINAL.pt"))
+        np.testing.assert_allclose(
+            np.asarray(reloaded["pooler"]["query"]),
+            np.asarray(params["pooler"]["query"]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(reloaded["lora"]["wq"]["b"]),
+            np.asarray(params["lora"]["wq"]["b"]), rtol=1e-5, atol=1e-6)
+
+    def test_eval_stage_merges_lora(self, tmp_path):
+        import dataclasses
+
+        import jax
+
+        from lhrs_bot_tpu.core.model_io import load_pretrained, save_final
+        from lhrs_bot_tpu.models import VLMConfig, init_vlm_params
+
+        cfg = VLMConfig.tiny_test(stage=2, lora=True)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        params["lora"] = jax.tree_util.tree_map(
+            lambda x: x + 0.05, params["lora"])
+        save_final(str(tmp_path), params, cfg)
+
+        eval_cfg = dataclasses.replace(cfg, stage=0)
+        merged = load_pretrained(eval_cfg,
+                                 model_path=str(tmp_path / "FINAL.pt"))
+        assert "lora" not in merged
+        # merged base weights differ from the randomly-initialized base
+        fresh = load_pretrained(
+            dataclasses.replace(cfg, stage=2),
+            model_path=str(tmp_path / "FINAL.pt"))
+        assert "lora" in fresh
