@@ -1,0 +1,119 @@
+"""Weight quantization: int8 (and packed int4) matmuls.
+
+Replaces the bitsandbytes int8/NF4 path of the reference
+(lhrs/models/text_modal.py:91-109, `bits: 8` in the stage-2 recipe). On TPU
+the win is HBM bandwidth: decode is weight-bandwidth-bound, so int8 weights
+halve the bytes per token (v5e also doubles peak MACs at int8).
+
+Scheme: symmetric per-output-channel scales. q = round(w / s),
+s = max|w_col| / 127. Matmul computes x_bf16 · q_int8 with f32 accumulation
+and folds the scale into the output epilogue — XLA fuses the dequant, so no
+Pallas needed for correctness; a Pallas fused kernel can be layered later.
+
+Packed int4: two nibbles per int8 byte along the input dim, unpacked in the
+epilogue-free path (NF4's lookup table is approximated by symmetric int4 —
+recorded deviation: bitsandbytes' NF4 uses a nonlinear codebook).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizedTensor(NamedTuple):
+    q: jnp.ndarray  # int8, same shape as the original (or packed for int4)
+    scale: jnp.ndarray  # f32, per-output-channel (broadcastable)
+    bits: int = 8
+
+
+def quantize_int8(w: jnp.ndarray, axis: int = -2) -> QuantizedTensor:
+    """Per-output-channel symmetric int8. axis: the *contraction* axis of w
+    (reduced when computing scales); for (in, out) weights that is -2."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = absmax / 127.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(q=q, scale=scale, bits=8)
+
+
+def dequantize(qt: QuantizedTensor) -> jnp.ndarray:
+    if qt.bits == 4:
+        q = unpack_int4(qt.q)
+    else:
+        q = qt.q
+    return q.astype(jnp.float32) * qt.scale
+
+
+def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor,
+                     out_dtype=None) -> jnp.ndarray:
+    """x (…, in) @ quantized (in, out) with scale folded into the epilogue."""
+    out_dtype = out_dtype or x.dtype
+    q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
+    acc = jnp.dot(x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    return (acc * qt.scale.astype(jnp.float32)).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# int4 packing (two values per byte along the leading/contraction dim)
+# ---------------------------------------------------------------------------
+
+
+def quantize_int4(w: jnp.ndarray, axis: int = -2) -> QuantizedTensor:
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = absmax / 7.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    return QuantizedTensor(q=pack_int4(q), scale=scale, bits=4)
+
+
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """(2n, ...) int8 in [-8, 7] → (n, ...) int8 with two nibbles."""
+    assert q.shape[0] % 2 == 0
+    lo = q[0::2] & 0x0F
+    hi = (q[1::2] & 0x0F) << 4
+    return (lo | hi).astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    lo = (packed << 4).astype(jnp.int8) >> 4  # sign-extend low nibble
+    hi = packed.astype(jnp.int8) >> 4
+    n = packed.shape[0]
+    out_shape = (2 * n,) + packed.shape[1:]
+    out = jnp.zeros(out_shape, jnp.int8)
+    out = out.at[0::2].set(lo)
+    out = out.at[1::2].set(hi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Model-level helpers
+# ---------------------------------------------------------------------------
+
+_QUANT_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_llama_layers(layers: Dict[str, jnp.ndarray],
+                          bits: int = 8) -> Dict[str, Any]:
+    """Replace the big stacked projection weights with QuantizedTensors
+    (norms stay bf16/f32). Contraction axis of stacked (L, in, out) is 1."""
+    fn = quantize_int8 if bits == 8 else quantize_int4
+    out: Dict[str, Any] = {}
+    for name, w in layers.items():
+        if name in _QUANT_TARGETS:
+            out[name] = fn(w, axis=1)
+        else:
+            out[name] = w
+    return out
+
+
+def dequantize_llama_layers(layers: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    return {
+        name: dequantize(w) if isinstance(w, QuantizedTensor) else w
+        for name, w in layers.items()
+    }

@@ -82,7 +82,10 @@ class GenerationEngine:
         self._prefill_jit = jax.jit(
             self._prefill, static_argnames=("batch", "cache_len"))
         self._decode_scan_jit = {}
-        self._decode_step_jit = jax.jit(self._decode_step)
+        # donate the cache: decode updates alias in place, otherwise every
+        # queued step holds a full cache copy (OOMs at 7B scale)
+        self._decode_step_jit = jax.jit(self._decode_step,
+                                        donate_argnums=(1,))
 
     # -- jitted pieces ------------------------------------------------------
 

@@ -1,0 +1,95 @@
+"""Quantization ops + profiler hook tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lhrs_bot_tpu.ops.quant import (
+    QuantizedTensor,
+    dequantize,
+    dequantize_llama_layers,
+    pack_int4,
+    quantize_int4,
+    quantize_int8,
+    quantize_llama_layers,
+    quantized_matmul,
+    unpack_int4,
+)
+
+
+class TestInt8:
+    def test_roundtrip_error_small(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (64, 32))
+        qt = quantize_int8(w)
+        back = dequantize(qt)
+        err = float(jnp.abs(back - w).max() / jnp.abs(w).max())
+        assert err < 0.02
+
+    def test_matmul_close_to_fp(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        x = jax.random.normal(k1, (8, 64), jnp.bfloat16)
+        w = jax.random.normal(k2, (64, 32))
+        qt = quantize_int8(w)
+        got = quantized_matmul(x, qt, out_dtype=jnp.float32)
+        ref = jnp.dot(x.astype(jnp.float32), w)
+        rel = float(jnp.abs(got - ref).max() / jnp.abs(ref).max())
+        assert rel < 0.05
+
+    def test_zero_column_safe(self):
+        w = jnp.zeros((16, 4))
+        qt = quantize_int8(w)
+        assert np.isfinite(np.asarray(dequantize(qt))).all()
+
+
+class TestInt4:
+    def test_pack_unpack_roundtrip(self):
+        q = jax.random.randint(jax.random.PRNGKey(0), (32, 8), -7, 8
+                               ).astype(jnp.int8)
+        np.testing.assert_array_equal(np.asarray(unpack_int4(pack_int4(q))),
+                                      np.asarray(q))
+
+    def test_quantize_roundtrip_error(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (64, 16))
+        qt = quantize_int4(w)
+        assert qt.q.shape == (32, 16)  # packed
+        back = dequantize(qt)
+        err = float(jnp.abs(back - w).max() / jnp.abs(w).max())
+        assert err < 0.15
+
+
+class TestModelQuant:
+    def test_llama_layers_quantize(self):
+        from lhrs_bot_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig.tiny_test()
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        qlayers = quantize_llama_layers(params["layers"], bits=8)
+        assert isinstance(qlayers["wq"], QuantizedTensor)
+        assert qlayers["input_norm"].dtype == params["layers"]["input_norm"].dtype
+        back = dequantize_llama_layers(qlayers)
+        rel = float(jnp.abs(back["wq"] - params["layers"]["wq"]).max())
+        assert rel < 0.01
+
+
+class TestProfilerHook:
+    def test_trace_window(self, tmp_path, monkeypatch):
+        from lhrs_bot_tpu.utils.profiler import ProfilerHook
+
+        calls = []
+        monkeypatch.setattr(jax.profiler, "start_trace",
+                            lambda d: calls.append(("start", d)))
+        monkeypatch.setattr(jax.profiler, "stop_trace",
+                            lambda: calls.append(("stop",)))
+
+        class FakeTrainer:
+            cur_iter = 0
+
+        hook = ProfilerHook(str(tmp_path), start_step=2, num_steps=2)
+        hook.trainer = FakeTrainer()
+        for it in range(6):
+            hook.trainer.cur_iter = it
+            hook.before_iter()
+            hook.after_iter()
+        hook.after_train()
+        assert calls == [("start", str(tmp_path)), ("stop",)]
