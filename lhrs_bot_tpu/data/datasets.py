@@ -490,6 +490,58 @@ class FolderClassificationDataset:
         return {"image": _load_image(path, self.image_size), "label": label}
 
 
+class METERMLDataset:
+    """METER-ML 7-class methane-source dataset: a geojson of labeled sites
+    with NAIP (or Sentinel-2) image chips (meterml.py:22-90 behavior,
+    without the geopandas dependency — the geojson is parsed directly)."""
+
+    CLASSES = ["CAFOs", "Landfills", "Mines", "Negative",
+               "ProcessingPlants", "RefineriesTerminals", "WWTreatment"]
+
+    def __init__(self, root: str, split: str = "test",
+                 image_type: str = "naip", image_size: int = 224):
+        self.image_size = image_size
+        self.class_names = list(self.CLASSES)
+        name_to_idx = {c: i for i, c in enumerate(self.CLASSES)}
+        geojson = os.path.join(root, f"{split}_dataset.geojson")
+        if not os.path.exists(geojson):
+            geojson = os.path.join(root, f"{split}.geojson")
+        with open(geojson) as fh:
+            data = json.load(fh)
+        self.samples = []
+        for feat in data.get("features", []):
+            props = feat.get("properties", {})
+            label = props.get("Type") or props.get("class") or props.get(
+                "label")
+            folder = props.get("Image_Folder") or props.get("id")
+            if label is None or folder is None:
+                continue
+            # multi-label entries use "A|B"; reference keeps the first
+            label = str(label).split("|")[0]
+            if label not in name_to_idx:
+                continue
+            img = os.path.join(root, str(folder), f"{image_type}.png")
+            if os.path.exists(img):
+                self.samples.append((img, name_to_idx[label]))
+        logger.info("METERMLDataset(%s): %d samples", split,
+                    len(self.samples))
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Dict:
+        path, label = self.samples[idx]
+        return {"image": _load_image(path, self.image_size), "label": label}
+
+
+class MillionAidEval(FolderClassificationDataset):
+    """Million-AID test split: folder layout, class = leaf directory
+    (millionaid_eval.py:8-54)."""
+
+    def __init__(self, root: str, image_size: int = 224):
+        super().__init__(root, image_size=image_size)
+
+
 class TxtSplitClassificationDataset(FolderClassificationDataset):
     """UCM-style txt split files: lines "relative/path class_idx"
     (UCM.py:8-84)."""

@@ -31,9 +31,38 @@ import jax.numpy as jnp
 from .constants import IGNORE_INDEX
 from ..ops.attention import flash_attention
 from ..ops.decode_attention import decode_attention
-from ..ops.mlp import silu_mlp
+from ..ops.quant import QuantizedTensor, quantized_matmul
 from ..ops.rmsnorm import rms_norm
 from ..ops.rope import apply_rope, rope_cos_sin
+
+
+def _dense(x: jnp.ndarray, w) -> jnp.ndarray:
+    """Matmul that accepts bf16/f32 weights or QuantizedTensors (int8/int4
+    weights with the dequant scale folded into the epilogue)."""
+    if isinstance(w, QuantizedTensor):
+        return quantized_matmul(x, w, out_dtype=x.dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _silu_mlp(x, w_gate, w_up, w_down):
+    gate = _dense(x, w_gate)
+    up = _dense(x, w_up)
+    return _dense(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
+                  w_down)
+
+
+def _cast_params(tree, compute_dtype):
+    """Cast float leaves to compute dtype; QuantizedTensors pass through
+    untouched (their scales stay f32)."""
+    def cast(x):
+        if isinstance(x, QuantizedTensor):
+            return x
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(compute_dtype)
+        return x
+
+    return jax.tree_util.tree_map(
+        cast, tree, is_leaf=lambda x: isinstance(x, QuantizedTensor))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,8 +159,7 @@ def _qkv(x, lp, cfg: LlamaConfig, cos, sin):
     b, s, _ = x.shape
 
     def proj(wm):
-        out = jnp.dot(x, wm, preferred_element_type=jnp.float32)
-        return out.astype(x.dtype).reshape(
+        return _dense(x, wm).reshape(
             b, s, cfg.num_attention_heads, cfg.head_dim)
 
     q = apply_rope(proj(lp["wq"]), cos, sin).transpose(0, 2, 1, 3)
@@ -147,11 +175,9 @@ def _block_full(x, lp, cfg: LlamaConfig, cos, sin, kv_mask):
     q, k, v = _qkv(h, lp, cfg, cos, sin)
     attn = flash_attention(q, k, v, kv_mask, causal=True)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
-    attn = jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32
-                   ).astype(x.dtype)
-    x = x + attn
+    x = x + _dense(attn, lp["wo"])
     h2 = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
-    x = x + silu_mlp(h2, lp["w_gate"], lp["w_up"], lp["w_down"])
+    x = x + _silu_mlp(h2, lp["w_gate"], lp["w_up"], lp["w_down"])
     return x
 
 
@@ -180,10 +206,7 @@ def llama_apply(
             positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    cast = lambda t: jax.tree_util.tree_map(
-        lambda p: p.astype(compute_dtype)
-        if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
-    layers = cast(params["layers"])
+    layers = _cast_params(params["layers"], compute_dtype)
 
     def body(carry, lp):
         fn = _block_full
@@ -227,11 +250,9 @@ def _block_prefill(x, lp, kc, vc, cfg: LlamaConfig, cos, sin, prompt_len):
     q, k, v = _qkv(h, lp, cfg, cos, sin)
     attn = flash_attention(q, k, v, causal=True)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
-    attn = jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32
-                   ).astype(x.dtype)
-    x = x + attn
+    x = x + _dense(attn, lp["wo"])
     h2 = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
-    x = x + silu_mlp(h2, lp["w_gate"], lp["w_up"], lp["w_down"])
+    x = x + _silu_mlp(h2, lp["w_gate"], lp["w_up"], lp["w_down"])
     # write into the first s slots of the cache
     kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0, 0))
     vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0, 0))
@@ -253,10 +274,7 @@ def llama_prefill(
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    cast = lambda t: jax.tree_util.tree_map(
-        lambda p: p.astype(compute_dtype)
-        if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
-    layers = cast(params["layers"])
+    layers = _cast_params(params["layers"], compute_dtype)
 
     def body(carry, xs):
         lp, kc, vc = xs
@@ -298,10 +316,7 @@ def llama_decode_step(
     positions = cache.length[:, None]  # (B, 1)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    cast = lambda t: jax.tree_util.tree_map(
-        lambda p: p.astype(compute_dtype)
-        if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
-    layers = cast(params["layers"])
+    layers = _cast_params(params["layers"], compute_dtype)
     new_len = cache.length + 1
 
     def body(carry, xs):
@@ -312,11 +327,9 @@ def llama_decode_step(
         vc = _write_at(vc, v, cache.length)
         attn = decode_attention(q, kc, vc, new_len)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_size)
-        attn = jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32
-                       ).astype(carry.dtype)
-        x_mid = carry + attn
+        x_mid = carry + _dense(attn, lp["wo"])
         h2 = rms_norm(x_mid, lp["post_attn_norm"], cfg.rms_norm_eps)
-        x_out = x_mid + silu_mlp(h2, lp["w_gate"], lp["w_up"], lp["w_down"])
+        x_out = x_mid + _silu_mlp(h2, lp["w_gate"], lp["w_up"], lp["w_down"])
         return x_out, (kc, vc)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))

@@ -17,16 +17,36 @@ recorded deviation: bitsandbytes' NF4 uses a nonlinear codebook).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
 
-class QuantizedTensor(NamedTuple):
-    q: jnp.ndarray  # int8, same shape as the original (or packed for int4)
-    scale: jnp.ndarray  # f32, per-output-channel (broadcastable)
-    bits: int = 8
+@jax.tree_util.register_pytree_node_class
+class QuantizedTensor:
+    """Quantized weight: int8 values (possibly nibble-packed for int4) +
+    per-output-channel f32 scales. `bits` is pytree aux data (static), so
+    QuantizedTensors thread through jit/scan like ordinary params."""
+
+    __slots__ = ("q", "scale", "bits")
+
+    def __init__(self, q, scale, bits: int = 8):
+        self.q = q
+        self.scale = scale
+        self.bits = bits
+
+    def tree_flatten(self):
+        return (self.q, self.scale), self.bits
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], bits=aux)
+
+    def __repr__(self):  # pragma: no cover
+        return (f"QuantizedTensor(q={getattr(self.q, 'shape', None)}, "
+                f"scale={getattr(self.scale, 'shape', None)}, "
+                f"bits={self.bits})")
 
 
 def quantize_int8(w: jnp.ndarray, axis: int = -2) -> QuantizedTensor:

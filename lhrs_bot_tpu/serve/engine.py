@@ -66,6 +66,7 @@ class GenerationEngine:
         max_seq_len: int = 2304,  # 2048 text + 144 image + headroom
         compute_dtype=jnp.bfloat16,
         cache_dtype=jnp.bfloat16,
+        quantize_bits: Optional[int] = None,  # 8/4: int weights for decode
     ):
         self.cfg = cfg
         self.compute_dtype = compute_dtype
@@ -79,6 +80,17 @@ class GenerationEngine:
             else x,
             effective_llama_params(params, cfg, stop_base_gradient=False),
         )
+        if quantize_bits:
+            # bits 8/4 config parity (reference bitsandbytes load,
+            # text_modal.py:91-109): decode is weight-bandwidth-bound, so
+            # int8 weights halve HBM bytes per token
+            from ..ops.quant import quantize_llama_layers
+
+            self.llama_params = {
+                **self.llama_params,
+                "layers": quantize_llama_layers(
+                    self.llama_params["layers"], bits=quantize_bits),
+            }
         self._prefill_jit = jax.jit(
             self._prefill, static_argnames=("batch", "cache_len"))
         self._decode_scan_jit = {}

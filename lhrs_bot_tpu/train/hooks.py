@@ -52,9 +52,11 @@ class LoggerHook(HookBase):
     (reference logger_hook.py:16-163: losses, lr, data/iter time, ETA)."""
 
     def __init__(self, period: int = 50, tb_log_dir: Optional[str] = None,
-                 use_tensorboard: bool = False):
+                 use_tensorboard: bool = False, use_wandb: bool = False,
+                 wandb_config: Optional[dict] = None):
         self.period = period
         self._writer = None
+        self._wandb = None
         if use_tensorboard and tb_log_dir:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -62,6 +64,14 @@ class LoggerHook(HookBase):
                 self._writer = SummaryWriter(tb_log_dir)
             except Exception:  # pragma: no cover
                 logger.warning("tensorboard unavailable; console only")
+        if use_wandb:
+            try:  # optional sink (reference logger_hook.py:156-163)
+                import wandb
+
+                wandb.init(project="lhrs-bot-tpu", config=wandb_config)
+                self._wandb = wandb
+            except Exception:  # pragma: no cover
+                logger.warning("wandb unavailable; skipping")
         self._start_time = None
 
     def before_train(self):
@@ -83,10 +93,14 @@ class LoggerHook(HookBase):
         if self._writer is not None:
             for k, v in vals.items():
                 self._writer.add_scalar(k, v, t.cur_iter)
+        if self._wandb is not None:
+            self._wandb.log(vals, step=t.cur_iter)
 
     def after_train(self):
         if self._writer is not None:
             self._writer.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 class CheckpointHook(HookBase):

@@ -111,12 +111,24 @@ class Trainer:
         self.start_iter = 0
         self.metric_storage = MetricStorage()
 
+        self._opt_shardings = None
         if mesh is not None:
             params = shard_params(mesh, params)
-        self.params = params
-        self.opt_state = (
-            jax.jit(tx.init)(params) if mesh is None else tx.init(params)
-        )
+            self.params = params
+            # ZeRO-style placement: moments inherit TP specs; replicated
+            # params' moments shard over the data axis (parallel/zero.py)
+            from ..parallel.partition import vlm_param_specs
+            from ..parallel.zero import opt_state_specs
+
+            state_shapes = jax.eval_shape(tx.init, params)
+            specs = opt_state_specs(state_shapes, params,
+                                    vlm_param_specs(params), mesh)
+            self._opt_shardings = to_named(mesh, specs)
+            self.opt_state = jax.jit(
+                tx.init, out_shardings=self._opt_shardings)(params)
+        else:
+            self.params = params
+            self.opt_state = jax.jit(tx.init)(params)
         self._batch_sharding = (
             to_named(mesh, jax.sharding.PartitionSpec(DATA_AXIS))
             if mesh is not None else None
@@ -240,12 +252,16 @@ class Trainer:
         # with mesh-sharded params inside jit.
         if self.mesh is not None:
             self.params = shard_params(self.mesh, restored["params"])
+            self.opt_state = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(np.asarray(x), s)
+                if x is not None else None,
+                restored["opt_state"], self._opt_shardings)
         else:
             self.params = jax.tree_util.tree_map(
                 jnp.asarray, restored["params"])
-        self.opt_state = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x) if x is not None else None,
-            restored["opt_state"])
+            self.opt_state = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if x is not None else None,
+                restored["opt_state"])
         cs = restored.get("client_state", {})
         self.cur_iter = cs.get("cur_iter", restored["step"])
         self.start_iter = self.cur_iter

@@ -159,3 +159,39 @@ class TestEngine:
         stop = make_token_stopper([42])
         assert not stop([1, 2])
         assert stop([1, 42])
+
+
+class TestQuantizedEngine:
+    def test_int8_decode_close_to_fp(self):
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        fp = GenerationEngine(cfg, params, max_seq_len=64,
+                              compute_dtype=jnp.float32,
+                              cache_dtype=jnp.float32)
+        q8 = GenerationEngine(cfg, params, max_seq_len=64,
+                              compute_dtype=jnp.float32,
+                              cache_dtype=jnp.float32, quantize_bits=8)
+        ids = np.full((1, 6), 9, np.int32)
+        gcfg = GenerationConfig(max_new_tokens=4)
+        out_fp = fp.generate(ids, np.asarray([6], np.int32), gen_cfg=gcfg)
+        out_q8 = q8.generate(ids, np.asarray([6], np.int32), gen_cfg=gcfg)
+        # random tiny weights: logits are near-flat so argmax may flip;
+        # just require the quantized path to run and produce tokens
+        assert len(out_q8[0]) <= 4
+        # and the underlying logits to be close
+        from lhrs_bot_tpu.models.llama import KVCache, llama_prefill
+        emb = jnp.take(fp.llama_params["embed_tokens"],
+                       jnp.asarray(ids), axis=0)
+        c1 = KVCache.create(cfg.llama, 1, 16, dtype=jnp.float32)
+        l_fp, _ = llama_prefill(fp.llama_params, cfg.llama, c1,
+                                inputs_embeds=emb,
+                                prompt_len=jnp.asarray([6]),
+                                compute_dtype=jnp.float32)
+        c2 = KVCache.create(cfg.llama, 1, 16, dtype=jnp.float32)
+        l_q8, _ = llama_prefill(q8.llama_params, cfg.llama, c2,
+                                inputs_embeds=emb,
+                                prompt_len=jnp.asarray([6]),
+                                compute_dtype=jnp.float32)
+        rel = float(jnp.abs(l_q8 - l_fp).max()
+                    / (jnp.abs(l_fp).max() + 1e-9))
+        assert rel < 0.15, rel

@@ -219,3 +219,42 @@ class TestMetricStorage:
         ms2 = MetricStorage()
         ms2.load_state_dict(state)
         assert ms2["loss"].global_avg == pytest.approx(2.0)
+
+
+class TestZeroSharding:
+    def test_replicated_param_moments_shard_over_data(self, tmp_path):
+        from jax.sharding import PartitionSpec as P
+
+        cfg = VLMConfig.tiny_test(stage=1)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        conf = ConfigDict({"optimizer": "adamw", "lr": 1e-3, "wd": 0.0})
+        tx = build_optimizer(conf, params, trainable_mask(params, cfg))
+        mesh = make_mesh(dp=2, tp=4)
+        t = IterBasedTrainer(
+            cfg, params, tx, _ToyLoader(), max_iters=2, mesh=mesh,
+            work_dir=str(tmp_path), compute_dtype=jnp.float32, ckpt_period=2)
+
+        def find_query_moment(state):
+            # locate a pooler-query-shaped leaf in the optimizer state
+            shape = t.params["pooler"]["query"].shape
+            for leaf in jax.tree_util.tree_leaves(state):
+                if hasattr(leaf, "shape") and leaf.shape == shape:
+                    return leaf
+            return None
+
+        mom = find_query_moment(t.opt_state)
+        assert mom is not None
+        spec = mom.sharding.spec
+        assert "data" in str(spec), spec  # ZeRO: sharded over data axis
+
+        t.train()
+        # resume restores the same placement
+        t2 = IterBasedTrainer(
+            cfg, init_vlm_params(jax.random.PRNGKey(1), cfg), tx,
+            _ToyLoader(), max_iters=4, mesh=mesh, work_dir=str(tmp_path),
+            compute_dtype=jnp.float32, ckpt_period=100)
+        assert t2.resume()
+        mom2 = find_query_moment(t2.opt_state)
+        assert "data" in str(mom2.sharding.spec)
+        t2.train()
+        assert t2.cur_iter == 4
