@@ -49,6 +49,9 @@ def parse_config(description: str, extra=None, args=None) -> ConfigDict:
     if extra is not None:
         extra(parser)
     config = parser.parse_args(args)
+    from ..parallel.distribute import init_distributed
+
+    init_distributed()  # multi-host discovery; no-op single process
     import jax
 
     config["rank"] = jax.process_index()

@@ -38,6 +38,23 @@ def _build_vlp_loader(config, tokenizer, rank, world_size) -> DataLoader:
     prompt_type = getattr(config, "prompt_template", "plain")
     image_size = int(config.rgb_vision.input_size[0])
 
+    if stage <= 1 and (".tar" in str(data_path) or "{" in str(data_path)):
+        # RS5M-style web-scale caption stream (brace-expanded tar shards)
+        from .collate import SupervisedCollator
+        from .tario import RS5MDataset
+
+        from . import conversation as conversation_lib
+
+        conversation_lib.set_default_conversation(prompt_type)
+        dataset = RS5MDataset(
+            data_path, tokenizer, image_size=image_size,
+            rank=rank, world_size=world_size,
+            seed=int(getattr(config, "seed", 0)),
+        )
+        return _IterableLoader(
+            dataset, batch_size=int(config.batch_size),
+            collate_fn=SupervisedCollator(tokenizer))
+
     if stage <= 1:
         dataset = CaptionDatasetVQA(
             data_path, tokenizer, image_size=image_size,
@@ -72,6 +89,31 @@ def _build_vlp_loader(config, tokenizer, rank, world_size) -> DataLoader:
         rank=rank, world_size=world_size,
         seed=int(getattr(config, "seed", 0)),
     )
+
+
+class _IterableLoader:
+    """Batches an iterable (tar-stream) dataset; epoch length from the
+    dataset's num_samples bookkeeping (with_epoch parity)."""
+
+    def __init__(self, dataset, batch_size: int, collate_fn):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return max(len(self.dataset) // self.batch_size, 1)
+
+    def __iter__(self):
+        batch = []
+        for sample in self.dataset:
+            batch.append(sample)
+            if len(batch) == self.batch_size:
+                yield self.collate_fn(batch)
+                batch = []
 
 
 def build_zero_shot_loader(config, rank: int = 0,

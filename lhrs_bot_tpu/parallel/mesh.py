@@ -41,9 +41,9 @@ def make_mesh(
         dp = n // tp  # type: ignore[operator]
     elif tp is None:
         tp = n // dp
-    if dp * tp != n:
-        raise ValueError(f"dp({dp}) * tp({tp}) != device count ({n})")
-    arr = np.asarray(devs).reshape(dp, tp)
+    if dp * tp > n:
+        raise ValueError(f"dp({dp}) * tp({tp}) exceeds device count ({n})")
+    arr = np.asarray(devs[:dp * tp]).reshape(dp, tp)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -91,6 +91,53 @@ def kv_cache_spec() -> Any:
     )
 
 
+def llama_serving_specs(llama_params) -> Any:
+    """Spec tree for a *serving* decoder param tree (possibly quantized):
+    QuantizedTensor leaves get (q, scale) specs derived from the base weight's
+    spec — the scale is (L, 1, out)-shaped, so it shards on the output axis
+    exactly when the weight does."""
+    from ..ops.quant import QuantizedTensor
+
+    base = {
+        "embed_tokens": P(None, MODEL_AXIS),
+        "layers": dict(_LLAMA_LAYER_SPECS),
+        "final_norm": P(),
+        "lm_head": P(None, MODEL_AXIS),
+    }
+
+    def adapt(spec: P, leaf):
+        if isinstance(leaf, QuantizedTensor):
+            # scale is (L, 1, out): only an output-axis sharding can apply
+            # (row-sharded weights get replicated scales)
+            out_axis = spec[2] if len(spec) >= 3 else None
+            scale_spec = P(None, None, out_axis)
+            return QuantizedTensor(q=spec, scale=scale_spec, bits=leaf.bits)
+        return spec
+
+    out = {
+        "embed_tokens": base["embed_tokens"],
+        "final_norm": base["final_norm"],
+        "lm_head": base["lm_head"],
+        "layers": {
+            k: adapt(base["layers"][k], v)
+            for k, v in llama_params["layers"].items()
+        },
+    }
+    return out
+
+
+def shard_llama_for_serving(mesh: Mesh, llama_params) -> Any:
+    """Place a (possibly quantized) decoder param tree with TP sharding."""
+    from ..ops.quant import QuantizedTensor
+
+    specs = llama_serving_specs(llama_params)
+
+    def put(leaf, spec):
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, llama_params, specs)
+
+
 def to_named(mesh: Mesh, spec_tree) -> Any:
     return jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), spec_tree,

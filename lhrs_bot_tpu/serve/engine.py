@@ -67,8 +67,10 @@ class GenerationEngine:
         compute_dtype=jnp.bfloat16,
         cache_dtype=jnp.bfloat16,
         quantize_bits: Optional[int] = None,  # 8/4: int weights for decode
+        mesh=None,  # jax.sharding.Mesh → TP-shard the decoder over ICI
     ):
         self.cfg = cfg
+        self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.cache_dtype = cache_dtype
         self.max_seq_len = max_seq_len
@@ -91,6 +93,12 @@ class GenerationEngine:
                 "layers": quantize_llama_layers(
                     self.llama_params["layers"], bits=quantize_bits),
             }
+        if mesh is not None:
+            # ICI-sharded decode: Megatron TP over the "model" axis
+            from ..parallel.partition import shard_llama_for_serving
+
+            self.llama_params = shard_llama_for_serving(
+                mesh, self.llama_params)
         self._prefill_jit = jax.jit(
             self._prefill, static_argnames=("batch", "cache_len"))
         self._decode_scan_jit = {}

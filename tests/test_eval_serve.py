@@ -195,3 +195,27 @@ class TestQuantizedEngine:
         rel = float(jnp.abs(l_q8 - l_fp).max()
                     / (jnp.abs(l_fp).max() + 1e-9))
         assert rel < 0.15, rel
+
+
+class TestMeshEngine:
+    @pytest.mark.parametrize("bits", [None, 8])
+    def test_tp_sharded_decode_matches_single(self, bits):
+        from lhrs_bot_tpu.parallel.mesh import make_mesh
+
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        single = GenerationEngine(cfg, params, max_seq_len=64,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.float32,
+                                  quantize_bits=bits)
+        mesh = make_mesh(dp=1, tp=4)
+        sharded = GenerationEngine(cfg, params, max_seq_len=64,
+                                   compute_dtype=jnp.float32,
+                                   cache_dtype=jnp.float32,
+                                   quantize_bits=bits, mesh=mesh)
+        ids = np.full((2, 6), 13, np.int32)
+        gcfg = GenerationConfig(max_new_tokens=4)
+        lens = np.asarray([6, 6], np.int32)
+        out_single = single.generate(ids, lens, gen_cfg=gcfg)
+        out_sharded = sharded.generate(ids, lens, gen_cfg=gcfg)
+        assert out_single == out_sharded

@@ -197,3 +197,48 @@ class TestModelIO:
             dataclasses.replace(cfg, stage=2),
             model_path=str(tmp_path / "FINAL.pt"))
         assert "lora" in fresh
+
+
+class TestBuildLoaderTar:
+    def test_tar_path_routes_to_stream(self, tmp_path):
+        import tarfile as tf_mod
+
+        from lhrs_bot_tpu.core.config import ConfigDict
+        from lhrs_bot_tpu.data.build_loader import build_loader
+        from tests.fake_tokenizer import FakeTokenizer
+
+        # build two tiny shards
+        from PIL import Image
+
+        for s in range(2):
+            with tf_mod.open(str(tmp_path / f"shard-{s:02d}.tar"), "w") as tf:
+                for i in range(4):
+                    img = Image.fromarray(
+                        np.random.default_rng(i).integers(
+                            0, 255, (32, 32, 3)).astype(np.uint8))
+                    buf = io.BytesIO()
+                    img.save(buf, format="JPEG")
+                    data = buf.getvalue()
+                    info = tf_mod.TarInfo(f"s{s}_{i}.jpg")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+                    txt = f"caption {s} {i}".encode()
+                    info = tf_mod.TarInfo(f"s{s}_{i}.txt")
+                    info.size = len(txt)
+                    tf.addfile(info, io.BytesIO(txt))
+
+        cfg = ConfigDict({
+            "stage": 1, "prompt_template": "plain",
+            "data_path": str(tmp_path / "shard-{00..01}.tar"),
+            "batch_size": 2, "seed": 0,
+            "rgb_vision": {"input_size": [28, 28]},
+        })
+        tok = FakeTokenizer()
+        loader = build_loader(cfg, tok, mode="pretrain")
+        loader.dataset.num_samples = 8
+        batches = list(loader)
+        assert len(batches) == 4
+        b = batches[0]
+        assert b["images"].shape == (2, 28, 28, 3)
+        assert b["input_ids"].shape[0] == 2
+        assert (b["labels"] != -100).any()
