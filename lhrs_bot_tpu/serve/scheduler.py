@@ -1,0 +1,217 @@
+"""Continuous-batching scheduler for multi-user serving.
+
+The reference serves one user at a time (Gradio UI with a background
+HF-generate thread, lhrs_webui.py:233-239); BASELINE.json's serving config
+calls for batched multi-user serving. This scheduler provides it TPU-style:
+
+  * requests enter a queue; the scheduler packs up to `max_batch` active
+    sequences into fixed slots of a shared static KV cache (slot = row);
+  * prefill runs per admission batch (one jit at bucketed prompt lengths),
+    writing into the free slots; decode steps run over the WHOLE slot array
+    every tick — finished/empty slots are masked, so one decode dispatch
+    serves all users simultaneously;
+  * finished sequences free their slot for the next queued request —
+    admission happens between decode ticks (continuous batching);
+  * static shapes throughout: slot count, cache length and prompt-length
+    buckets are fixed, so the two jitted programs (prefill, decode-tick)
+    compile once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import KVCache, llama_decode_step, llama_prefill
+from ..models.vlm import VLMConfig, prepare_multimodal_inputs
+from .engine import GenerationConfig
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    input_ids: np.ndarray  # (T,) prompt token ids (may contain -200)
+    image: Optional[np.ndarray] = None  # (H, W, 3) uint8
+    max_new_tokens: int = 128
+    # filled by the scheduler:
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class ContinuousBatchingScheduler:
+    def __init__(
+        self,
+        cfg: VLMConfig,
+        params,
+        llama_params,
+        *,
+        max_batch: int = 8,
+        max_seq_len: int = 1024,
+        compute_dtype=jnp.bfloat16,
+        cache_dtype=jnp.bfloat16,
+        eos_token_id: int = 2,
+        pad_token_id: int = 0,
+        prompt_bucket: int = 64,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.llama_params = llama_params
+        self.max_batch = max_batch
+        self.max_seq_len = max_seq_len
+        self.compute_dtype = compute_dtype
+        self.eos = eos_token_id
+        self.pad = pad_token_id
+        self.prompt_bucket = prompt_bucket
+
+        self.cache = KVCache.create(cfg.llama, max_batch, max_seq_len,
+                                    dtype=cache_dtype)
+        # per-slot host state
+        self.slot_req: List[Optional[Request]] = [None] * max_batch
+        self.slot_budget = np.zeros(max_batch, np.int32)
+        self.last_tokens = np.full(max_batch, pad_token_id, np.int32)
+        self.active = np.zeros(max_batch, bool)
+
+        self._prefill_jit = jax.jit(self._prefill,
+                                    static_argnames=("width",),
+                                    donate_argnums=(2,))
+        self._tick_jit = jax.jit(self._tick, donate_argnums=(1,))
+
+    # -- jitted programs ------------------------------------------------------
+
+    def _prefill(self, input_ids, images, cache, slot_mask, seq_lens, *,
+                 width: int):
+        """Prefill `width`-wide prompts into the slots marked by slot_mask
+        (bool (max_batch,)); rows not selected keep their cache content."""
+        spliced = prepare_multimodal_inputs(
+            self.params, self.cfg, input_ids, images,
+            attention_mask=jnp.arange(input_ids.shape[1])[None, :]
+            < seq_lens[:, None],
+            compute_dtype=self.compute_dtype,
+            llama_params=self.llama_params,
+        )
+        tmp = KVCache.create(self.cfg.llama, self.max_batch,
+                             self.max_seq_len, dtype=self.cache.k.dtype)
+        logits, tmp = llama_prefill(
+            self.llama_params, self.cfg.llama, tmp,
+            inputs_embeds=spliced.inputs_embeds,
+            prompt_len=spliced.seq_len,
+            compute_dtype=self.compute_dtype,
+        )
+        sel = slot_mask[None, :, None, None, None]
+        new_cache = KVCache(
+            k=jnp.where(sel, tmp.k, cache.k),
+            v=jnp.where(sel, tmp.v, cache.v),
+            length=jnp.where(slot_mask, tmp.length, cache.length),
+        )
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return first, new_cache
+
+    def _tick(self, tokens, cache, active):
+        """One decode step over all slots; inactive slots are frozen by
+        keeping their cache length (they still compute, results discarded)."""
+        embeds = jnp.take(self.llama_params["embed_tokens"],
+                          tokens[:, None], axis=0)
+        logits, new_cache = llama_decode_step(
+            self.llama_params, self.cfg.llama, cache,
+            inputs_embeds=embeds, compute_dtype=self.compute_dtype)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(active, nxt, self.pad)
+        # inactive slots must not grow their cache
+        new_cache = KVCache(
+            k=new_cache.k, v=new_cache.v,
+            length=jnp.where(active, new_cache.length, cache.length))
+        return nxt, new_cache
+
+    # -- host-side scheduling --------------------------------------------------
+
+    def _free_slots(self) -> List[int]:
+        return [i for i in range(self.max_batch) if not self.active[i]]
+
+    def admit(self, requests: List[Request]) -> int:
+        """Pack as many requests as fit into free slots; returns #admitted."""
+        free = self._free_slots()
+        batch = requests[:len(free)]
+        if not batch:
+            return 0
+        slots = free[:len(batch)]
+
+        t = max(len(r.input_ids) for r in batch)
+        width = min(_round_up(t, self.prompt_bucket), self.max_seq_len)
+        ids = np.full((self.max_batch, width), self.pad, np.int32)
+        lens = np.zeros(self.max_batch, np.int32)
+        has_image = any(r.image is not None for r in batch)
+        imgs = None
+        if has_image:
+            h = self.cfg.vit.image_size
+            imgs = np.zeros((self.max_batch, h, h, 3), np.uint8)
+        mask = np.zeros(self.max_batch, bool)
+        for slot, req in zip(slots, batch):
+            n = min(len(req.input_ids), width)
+            ids[slot, :n] = req.input_ids[:n]
+            lens[slot] = n
+            mask[slot] = True
+            if imgs is not None and req.image is not None:
+                imgs[slot] = req.image
+
+        first, self.cache = self._prefill_jit(
+            jnp.asarray(ids), jnp.asarray(imgs) if imgs is not None else None,
+            self.cache, jnp.asarray(mask), jnp.asarray(lens), width=width)
+        first_host = np.asarray(first)
+
+        for slot, req in zip(slots, batch):
+            self.slot_req[slot] = req
+            self.slot_budget[slot] = req.max_new_tokens
+            tok = int(first_host[slot])
+            self.active[slot] = True
+            self._push_token(slot, tok)
+        return len(batch)
+
+    def _push_token(self, slot: int, tok: int) -> None:
+        req = self.slot_req[slot]
+        self.slot_budget[slot] -= 1
+        if tok == self.eos or self.slot_budget[slot] <= 0:
+            if tok != self.eos:
+                req.output_ids.append(tok)
+            req.done = True
+            self.active[slot] = False
+            self.slot_req[slot] = None
+            self.last_tokens[slot] = self.pad
+        else:
+            req.output_ids.append(tok)
+            self.last_tokens[slot] = tok
+
+    def step(self) -> int:
+        """One decode tick over all active slots; returns #still-active."""
+        if not self.active.any():
+            return 0
+        nxt, self.cache = self._tick_jit(
+            jnp.asarray(self.last_tokens), self.cache,
+            jnp.asarray(self.active))
+        nxt_host = np.asarray(nxt)
+        for slot in range(self.max_batch):
+            if self.active[slot]:
+                self._push_token(slot, int(nxt_host[slot]))
+        return int(self.active.sum())
+
+    def run(self, requests: List[Request]) -> List[Request]:
+        """Serve a request list to completion (admission interleaved with
+        decode ticks — later requests join as slots free up)."""
+        pending = list(requests)
+        n = self.admit(pending)
+        pending = pending[n:]
+        while self.active.any() or pending:
+            if pending and self._free_slots():
+                n = self.admit(pending)
+                pending = pending[n:]
+            self.step()
+        return requests

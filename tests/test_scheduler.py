@@ -1,0 +1,78 @@
+"""Continuous-batching scheduler: output parity with the plain engine,
+slot reuse, mixed admission."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lhrs_bot_tpu.models import (
+    IMAGE_TOKEN_INDEX,
+    VLMConfig,
+    effective_llama_params,
+    init_vlm_params,
+)
+from lhrs_bot_tpu.serve.engine import GenerationConfig, GenerationEngine
+from lhrs_bot_tpu.serve.scheduler import ContinuousBatchingScheduler, Request
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = VLMConfig.tiny_test(stage=0)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    engine = GenerationEngine(cfg, params, max_seq_len=96,
+                              compute_dtype=jnp.float32,
+                              cache_dtype=jnp.float32)
+    sched = ContinuousBatchingScheduler(
+        cfg, params, engine.llama_params, max_batch=3, max_seq_len=96,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+        eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16)
+    return cfg, params, engine, sched
+
+
+class TestScheduler:
+    def test_matches_plain_engine(self, setup):
+        cfg, params, engine, sched = setup
+        rng = np.random.default_rng(0)
+        prompts = [rng.integers(3, 200, size=(n,)).astype(np.int32)
+                   for n in (5, 9, 7, 6, 8)]  # 5 requests > 3 slots
+        reqs = [Request(uid=i, input_ids=p, max_new_tokens=6)
+                for i, p in enumerate(prompts)]
+        sched.run(reqs)
+        assert all(r.done for r in reqs)
+
+        for r, p in zip(reqs, prompts):
+            expected = engine.generate(
+                p[None], np.asarray([len(p)], np.int32),
+                gen_cfg=GenerationConfig(
+                    max_new_tokens=6, eos_token_id=cfg.llama.eos_token_id))
+            got = [t for t in r.output_ids if t != cfg.llama.eos_token_id]
+            assert got[:len(expected[0])] == expected[0], (r.uid, got,
+                                                           expected[0])
+
+    def test_multimodal_request(self, setup):
+        cfg, params, engine, sched = setup
+        ids = np.full((6,), 7, np.int32)
+        ids[1] = IMAGE_TOKEN_INDEX
+        img = np.zeros((cfg.vit.image_size, cfg.vit.image_size, 3), np.uint8)
+        req = Request(uid=99, input_ids=ids, image=img, max_new_tokens=4)
+        sched.run([req])
+        assert req.done
+        expected = engine.generate(
+            ids[None], np.asarray([6], np.int32), images=img[None],
+            gen_cfg=GenerationConfig(
+                max_new_tokens=4, eos_token_id=cfg.llama.eos_token_id))
+        got = [t for t in req.output_ids if t != cfg.llama.eos_token_id]
+        assert got[:len(expected[0])] == expected[0]
+
+    def test_staggered_admission_reuses_slots(self, setup):
+        cfg, params, engine, sched = setup
+        rng = np.random.default_rng(1)
+        reqs = [Request(uid=i,
+                        input_ids=rng.integers(3, 200, size=(5,)).astype(
+                            np.int32),
+                        max_new_tokens=3 + i % 3)
+                for i in range(7)]
+        sched.run(reqs)
+        assert all(r.done for r in reqs)
+        assert all(len(r.output_ids) >= 1 for r in reqs)
