@@ -111,6 +111,33 @@ def _load_hf_dir_state_dict(path: str) -> Dict[str, Any]:
     return sd
 
 
+def export_hf_llama_state_dict(params: Dict, cfg: LlamaConfig) -> Dict:
+    """Our decoder params → HF LlamaForCausalLM state dict (round-trip of
+    llama_params_from_hf_state_dict)."""
+    import torch
+
+    t = lambda x: torch.from_numpy(np.asarray(x, np.float32).copy())
+    sd = {
+        "model.embed_tokens.weight": t(params["embed_tokens"]),
+        "model.norm.weight": t(params["final_norm"]),
+        "lm_head.weight": t(np.asarray(params["lm_head"]).T),
+    }
+    lyr = params["layers"]
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = t(lyr["input_norm"][i])
+        sd[p + "self_attn.q_proj.weight"] = t(np.asarray(lyr["wq"][i]).T)
+        sd[p + "self_attn.k_proj.weight"] = t(np.asarray(lyr["wk"][i]).T)
+        sd[p + "self_attn.v_proj.weight"] = t(np.asarray(lyr["wv"][i]).T)
+        sd[p + "self_attn.o_proj.weight"] = t(np.asarray(lyr["wo"][i]).T)
+        sd[p + "post_attention_layernorm.weight"] = t(
+            lyr["post_attn_norm"][i])
+        sd[p + "mlp.gate_proj.weight"] = t(np.asarray(lyr["w_gate"][i]).T)
+        sd[p + "mlp.up_proj.weight"] = t(np.asarray(lyr["w_up"][i]).T)
+        sd[p + "mlp.down_proj.weight"] = t(np.asarray(lyr["w_down"][i]).T)
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # HF CLIP vision tower
 # ---------------------------------------------------------------------------
@@ -319,7 +346,7 @@ def export_final_pt(path: str, params: Dict, vit_cfg: ViTConfig,
     like the reference's artifact for external tooling)."""
     import torch
 
-    t = lambda x: torch.from_numpy(np.asarray(x, np.float32))
+    t = lambda x: torch.from_numpy(np.asarray(x, np.float32).copy())
     vit = params["vit"]
     rgb_sd = {}
     conv = np.asarray(vit["patch_proj"])  # (p*p*3, W)

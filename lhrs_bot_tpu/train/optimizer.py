@@ -27,8 +27,10 @@ import optax
 
 def weight_decay_mask(params) -> Any:
     """True (decay) for tensors with ndim > 1 — matches the reference's
-    skip-list of 1-D/bias params."""
-    return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+    skip-list of 1-D/bias params. Tolerates optax.MaskedNode placeholders
+    (frozen leaves under optax.masked)."""
+    return jax.tree_util.tree_map(
+        lambda p: getattr(p, "ndim", 0) > 1, params)
 
 
 # ---------------------------------------------------------------------------
@@ -85,11 +87,12 @@ def adan(
 
         updates = jax.tree_util.tree_map(direction, m, v, n)
         if weight_decay:
+            mask_tree = mask(params) if callable(mask) else mask
             wd_tree = (
                 jax.tree_util.tree_map(
                     lambda use, p: weight_decay * p if use else 0.0 * p,
-                    mask, params)
-                if mask is not None else
+                    mask_tree, params)
+                if mask_tree is not None else
                 jax.tree_util.tree_map(lambda p: weight_decay * p, params)
             )
             updates = jax.tree_util.tree_map(jnp.add, updates, wd_tree)
@@ -119,15 +122,16 @@ def build_optimizer(
     lr = schedule if schedule is not None else float(config.lr)
     wd = float(getattr(config, "wd", 0.0))
     name = str(getattr(config, "optimizer", "adamw")).lower()
-    decay_mask = weight_decay_mask(params)
+    betas = getattr(config, "betas", None)
 
     if name in ("adanp", "adan"):
-        tx = adan(lr, weight_decay=wd, mask=decay_mask,
+        tx = adan(lr, weight_decay=wd, mask=weight_decay_mask,
                   no_prox=(name == "adanp"))
     elif name in ("adamw", "adam"):
-        tx = optax.adamw(lr, b1=float(getattr(config, "beta1", 0.9)),
-                         b2=float(getattr(config, "beta2", 0.999)),
-                         weight_decay=wd, mask=decay_mask)
+        b1 = float(betas[0]) if betas else 0.9
+        b2 = float(betas[1]) if betas else 0.999
+        tx = optax.adamw(lr, b1=b1, b2=b2, weight_decay=wd,
+                         mask=weight_decay_mask)
     elif name == "sgd":
         tx = optax.sgd(lr, momentum=0.9)
     else:
@@ -141,11 +145,15 @@ def build_optimizer(
     tx = optax.chain(*chain)
 
     if trainable is not None:
+        # moments exist ONLY for trainable leaves (optax.masked keeps
+        # MaskedNode placeholders for the rest) — at 7B this is the
+        # difference between ~2 GB and ~84 GB of optimizer state. masked()
+        # passes raw grads through for unmasked leaves, so the frozen
+        # complement is explicitly zeroed (stateless).
+        frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
         tx = optax.chain(
-            optax.masked(
-                optax.set_to_zero(),
-                jax.tree_util.tree_map(lambda t: not t, trainable)),
-            tx,
+            optax.masked(tx, trainable),
+            optax.masked(optax.set_to_zero(), frozen),
         )
 
     accum = int(getattr(config, "accumulation_steps", 1) or 1)

@@ -258,3 +258,22 @@ class TestZeroSharding:
         assert "data" in str(mom2.sharding.spec)
         t2.train()
         assert t2.cur_iter == 4
+
+
+class TestMaskedOptimizerMemory:
+    def test_no_moments_for_frozen_params(self):
+        """Stage 1 freezes ViT+LLM: optimizer state must not contain
+        llama-weight-shaped moment arrays (the 3x-params memory trap)."""
+        cfg = VLMConfig.tiny_test(stage=1)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        conf = ConfigDict({"optimizer": "adamw", "lr": 1e-3, "wd": 0.01})
+        tx = build_optimizer(conf, params, trainable_mask(params, cfg))
+        state = tx.init(params)
+        llama_wq_shape = params["llama"]["layers"]["wq"].shape
+        vit_shape = params["vit"]["layers"]["w_fc"].shape
+        pool_shape = params["pooler"]["layers"]["w_fc"].shape
+        shapes = [tuple(l.shape) for l in jax.tree_util.tree_leaves(state)
+                  if hasattr(l, "shape")]
+        assert tuple(llama_wq_shape) not in shapes
+        assert tuple(vit_shape) not in shapes
+        assert tuple(pool_shape) in shapes  # pooler trains → moments exist
