@@ -226,6 +226,8 @@ class Trainer:
              max_to_keep: Optional[int] = None) -> str:
         client_state = {
             "cur_iter": self.cur_iter,
+            "world_size": jax.process_count(),
+            "mesh_shape": dict(self.mesh.shape) if self.mesh else None,
             "metric_storage": self.metric_storage.state_dict(),
             "hooks": {
                 h.class_name: h.state_dict()
@@ -263,6 +265,14 @@ class Trainer:
                 lambda x: jnp.asarray(x) if x is not None else None,
                 restored["opt_state"])
         cs = restored.get("client_state", {})
+        saved_ws = cs.get("world_size")
+        if saved_ws is not None and saved_ws != jax.process_count():
+            # reference refuses world-size changes (trainer.py:325-330);
+            # our sampler slicing is stateless so a warning suffices
+            logger.warning(
+                "resuming with world_size %d (checkpoint written with %d); "
+                "data-order reproducibility is not preserved",
+                jax.process_count(), saved_ws)
         self.cur_iter = cs.get("cur_iter", restored["step"])
         self.start_iter = self.cur_iter
         self.metric_storage.load_state_dict(cs.get("metric_storage", {}))
