@@ -23,8 +23,13 @@ print("initializing full-size VLM (7B decoder in bf16)...", flush=True)
 t0 = time.perf_counter()
 # frozen parts in bf16, trainable parts in f32 (master weights)
 params = init_vlm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+# frozen 7B base in int8 (the reference's own stage-2 recipe trains with
+# bits: 8 via bitsandbytes; here symmetric per-channel int8)
+from lhrs_bot_tpu.ops.quant import quantize_llama_layers
 params["llama"] = jax.tree_util.tree_map(
     lambda x: x.astype(jnp.bfloat16), params["llama"])
+params["llama"]["layers"] = jax.jit(
+    lambda l: quantize_llama_layers(l, bits=8))(params["llama"]["layers"])
 params["vit"] = jax.tree_util.tree_map(
     lambda x: x.astype(jnp.bfloat16), params["vit"])  # frozen at stage 1
 params = jax.block_until_ready(params)
@@ -52,7 +57,8 @@ batch = {
 }
 
 step = jax.jit(make_train_step(cfg, tx, compute_dtype=jnp.bfloat16,
-                               remat=True),
+                               remat=True,
+                               trainable=trainable_mask(params, cfg)),
                donate_argnums=(0, 1))
 
 def run_once():

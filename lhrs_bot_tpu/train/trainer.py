@@ -45,14 +45,50 @@ def make_train_step(
     tx: optax.GradientTransformation,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    trainable=None,
 ) -> Callable:
-    def step(params, opt_state, batch):
-        def loss_fn(p):
-            out = vlm_forward_loss(p, cfg, batch, compute_dtype=compute_dtype,
-                                   remat=remat)
-            return out["total_loss"], out
+    """One fused optimization step.
 
-        (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    `trainable` (bool pytree like the params) restricts differentiation to
+    the trainable leaves — without it, scan's backward materializes
+    zero-gradient accumulators for every frozen stacked weight (~11 GB of
+    zeros for a frozen 7B decoder, which OOMs a single chip)."""
+
+    def step(params, opt_state, batch):
+        if trainable is None:
+            def loss_fn(p):
+                out = vlm_forward_loss(p, cfg, batch,
+                                       compute_dtype=compute_dtype,
+                                       remat=remat)
+                return out["total_loss"], out
+
+            (_, out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+        else:
+            leaves, treedef = jax.tree_util.tree_flatten(params)
+            mask_leaves = jax.tree_util.tree_leaves(trainable)
+            train_leaves = [l for l, m in zip(leaves, mask_leaves) if m]
+
+            def loss_fn(train_leaves_):
+                it = iter(train_leaves_)
+                full = [next(it) if m else jax.lax.stop_gradient(l)
+                        for l, m in zip(leaves, mask_leaves)]
+                p = jax.tree_util.tree_unflatten(treedef, full)
+                out = vlm_forward_loss(p, cfg, batch,
+                                       compute_dtype=compute_dtype,
+                                       remat=remat)
+                return out["total_loss"], out
+
+            (_, out), g_list = jax.value_and_grad(
+                loss_fn, has_aux=True)(train_leaves)
+            git = iter(g_list)
+            # frozen slots get scalar zeros: structurally valid for the
+            # masked optimizer, algebraically eliminated by XLA
+            grads = jax.tree_util.tree_unflatten(treedef, [
+                next(git) if m else jnp.zeros((), l.dtype)
+                for l, m in zip(leaves, mask_leaves)
+            ])
+
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         metrics = {
@@ -133,8 +169,11 @@ class Trainer:
             to_named(mesh, jax.sharding.PartitionSpec(DATA_AXIS))
             if mesh is not None else None
         )
+        from ..models.vlm import trainable_mask
+
         self._step_fn = jax.jit(
-            make_train_step(model_cfg, tx, compute_dtype, remat),
+            make_train_step(model_cfg, tx, compute_dtype, remat,
+                            trainable=trainable_mask(params, model_cfg)),
             donate_argnums=(0, 1),
         )
 
