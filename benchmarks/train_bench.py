@@ -19,19 +19,49 @@ from lhrs_bot_tpu.models import (
 from lhrs_bot_tpu.train import build_optimizer, build_schedule, make_train_step
 
 cfg = VLMConfig(stage=1)  # full-size: ViT-L + 144q pooler + 7B decoder
-print("initializing full-size VLM (7B decoder in bf16)...", flush=True)
+print("initializing full-size VLM (frozen 7B base in int8)...", flush=True)
 t0 = time.perf_counter()
-# frozen parts in bf16, trainable parts in f32 (master weights)
-params = init_vlm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
-# frozen 7B base in int8 (the reference's own stage-2 recipe trains with
-# bits: 8 via bitsandbytes; here symmetric per-channel int8)
-from lhrs_bot_tpu.ops.quant import quantize_llama_layers
-params["llama"] = jax.tree_util.tree_map(
-    lambda x: x.astype(jnp.bfloat16), params["llama"])
-params["llama"]["layers"] = jax.jit(
-    lambda l: quantize_llama_layers(l, bits=8))(params["llama"]["layers"])
-params["vit"] = jax.tree_util.tree_map(
-    lambda x: x.astype(jnp.bfloat16), params["vit"])  # frozen at stage 1
+# trainable pooler in f32 (master weights); frozen ViT in bf16; frozen 7B
+# base in per-channel int8 (the reference's own bits-8 training recipe).
+# The decoder is built tensor-by-tensor so no transient f32/bf16 copy of the
+# full 7B tree ever exists on the chip.
+from lhrs_bot_tpu.models.vit import init_vit_params
+from lhrs_bot_tpu.models.perceiver import init_perceiver_params
+from lhrs_bot_tpu.ops.quant import quantize_int8
+
+def qinit(key, shape):
+    f = jax.jit(lambda k: quantize_int8(
+        jax.random.normal(k, shape, jnp.bfloat16) * 0.02, axis=1))
+    out = f(key)
+    jax.block_until_ready(out.q)
+    return out
+
+lcfg = cfg.llama
+d, ffn, L, V = (lcfg.hidden_size, lcfg.intermediate_size,
+                lcfg.num_hidden_layers, lcfg.vocab_size)
+keys = jax.random.split(jax.random.PRNGKey(0), 12)
+params = {
+    "vit": jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16),
+        init_vit_params(keys[9], cfg.vit, dtype=jnp.float32)),
+    "pooler": init_perceiver_params(keys[10], cfg.pooler, dtype=jnp.float32),
+    "llama": {
+        "embed_tokens": jax.random.normal(keys[0], (V, d), jnp.bfloat16) * 0.02,
+        "layers": {
+            "input_norm": jnp.ones((L, d), jnp.bfloat16),
+            "wq": qinit(keys[1], (L, d, d)),
+            "wk": qinit(keys[2], (L, d, d)),
+            "wv": qinit(keys[3], (L, d, d)),
+            "wo": qinit(keys[4], (L, d, d)),
+            "post_attn_norm": jnp.ones((L, d), jnp.bfloat16),
+            "w_gate": qinit(keys[5], (L, d, ffn)),
+            "w_up": qinit(keys[6], (L, d, ffn)),
+            "w_down": qinit(keys[7], (L, ffn, d)),
+        },
+        "final_norm": jnp.ones((d,), jnp.bfloat16),
+        "lm_head": jax.random.normal(keys[8], (d, V), jnp.bfloat16) * 0.02,
+    },
+}
 params = jax.block_until_ready(params)
 print(f"init {time.perf_counter()-t0:.1f}s", flush=True)
 

@@ -86,9 +86,9 @@ def _flash_kernel(
     has_mask: bool,
 ):
     if has_mask:
-        q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = refs
     else:
-        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = refs
         mask_ref = None
 
     qi = pl.program_id(1)
@@ -149,6 +149,10 @@ def _flash_kernel(
         l = l_ref[:, 0]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / l_safe[:, None]).astype(o_ref.dtype)
+        # logsumexp residual for the backward pass; +inf for fully-masked
+        # rows so exp(s - lse) underflows to 0 there
+        lse = jnp.where(l > 0.0, m_ref[:, 0] + jnp.log(l_safe), 1e30)
+        lse_ref[0] = lse[:, None]
 
 
 def _flash_attention_pallas(
@@ -161,6 +165,7 @@ def _flash_attention_pallas(
     interpret: bool = False,
     block_q: int = 512,
     block_k: int = 512,
+    return_lse: bool = False,
 ) -> jnp.ndarray:
     batch, heads, sq, d = q.shape
     skv = k.shape[2]
@@ -210,12 +215,18 @@ def _flash_attention_pallas(
         has_mask=has_mask,
     )
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((batch * heads, sq_pad, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, bq, 1), lambda bh, qi, ki: (bh, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch * heads, sq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((batch * heads, sq_pad, 1), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((bq, _LANES), jnp.float32),  # running max
             pltpu.VMEM((bq, _LANES), jnp.float32),  # running denominator
@@ -232,11 +243,242 @@ def _flash_attention_pallas(
         interpret=interpret,
     )(*operands)
 
-    return out.reshape(batch, heads, sq_pad, d)[:, :, :sq, :]
+    out = out.reshape(batch, heads, sq_pad, d)[:, :, :sq, :]
+    if return_lse:
+        return out, lse  # lse stays padded (BH, sq_pad, 1) for the bwd
+    return out
 
 
 # ---------------------------------------------------------------------------
-# Public entry point: Pallas forward on TPU, XLA-recompute backward
+# Pallas backward kernels (FlashAttention-2 style: dq pass + dkv pass)
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(*refs, sm_scale, causal, bq, bk, sq_valid,
+                         skv_valid, has_mask):
+    if has_mask:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
+         dq_ref, dq_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dq_acc) = refs
+        mask_ref = None
+
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    should_run = (ki * bk <= qi * bq + (bq - 1)) if causal else (ki >= 0)
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0][:, 0]
+        delta = delta_ref[0][:, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        kv_ids = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = kv_ids < skv_valid
+        if causal:
+            q_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            mask = jnp.logical_and(mask, kv_ids <= q_ids)
+        if mask_ref is not None:
+            mask = jnp.logical_and(
+                mask, mask_ref[0, 0][None, :].astype(jnp.int32) > 0)
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None]) * sm_scale
+        dq_acc[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(*refs, sm_scale, causal, bq, bk, sq_valid,
+                          skv_valid, has_mask):
+    if has_mask:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        mask_ref = None
+
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    should_run = (ki * bk <= qi * bq + (bq - 1)) if causal else (qi >= 0)
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0][:, 0]
+        delta = delta_ref[0][:, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        kv_ids = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        q_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        # padded q rows must not contribute to dk/dv
+        mask = jnp.logical_and(kv_ids < skv_valid, q_ids < sq_valid)
+        if causal:
+            mask = jnp.logical_and(mask, kv_ids <= q_ids)
+        if mask_ref is not None:
+            mask = jnp.logical_and(
+                mask, mask_ref[0, 0][None, :].astype(jnp.int32) > 0)
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jnp.exp(s - lse[:, None])  # (bq, bk)
+
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None]) * sm_scale
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_attention_bwd_pallas(
+    q, k, v, kv_mask, out, lse_padded, g, causal, sm_scale,
+    interpret: bool = False, block_q: int = 512, block_k: int = 512,
+):
+    batch, heads, sq, d = q.shape
+    skv = k.shape[2]
+    bq = min(block_q, _round_up(sq, _LANES))
+    bk = min(block_k, _round_up(skv, _LANES))
+    sq_pad = _round_up(sq, bq)
+    skv_pad = _round_up(skv, bk)
+
+    pad_q = lambda x: jnp.pad(
+        x, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0))).reshape(
+            batch * heads, sq_pad, d)
+    pad_k = lambda x: jnp.pad(
+        x, ((0, 0), (0, 0), (0, skv_pad - skv), (0, 0))).reshape(
+            batch * heads, skv_pad, d)
+    qp, dop = pad_q(q), pad_q(g)
+    kp, vp = pad_k(k), pad_k(v)
+
+    # delta = rowsum(dO * O) — cheap elementwise reduce, done in XLA
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_pad - sq))).reshape(
+        batch * heads, sq_pad, 1)
+    lse = lse_padded  # already (BH, sq_pad, 1)
+
+    has_mask = kv_mask is not None
+
+    def dq_call():
+        in_specs = [
+            pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),  # q
+            pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),  # k
+            pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),  # v
+            pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),  # do
+            pl.BlockSpec((1, bq, 1), lambda bh, qi, ki: (bh, qi, 0)),  # lse
+            pl.BlockSpec((1, bq, 1), lambda bh, qi, ki: (bh, qi, 0)),  # delta
+        ]
+        operands = [qp, kp, vp, dop, lse, delta]
+        if has_mask:
+            maskp = jnp.pad(kv_mask.astype(jnp.int32),
+                            ((0, 0), (0, skv_pad - skv)))[:, None, :]
+            in_specs.append(pl.BlockSpec(
+                (1, 1, bk), lambda bh, qi, ki, h=heads: (bh // h, 0, ki)))
+            operands.append(maskp)
+        kern = functools.partial(
+            _flash_bwd_dq_kernel, sm_scale=sm_scale, causal=causal, bq=bq,
+            bk=bk, sq_valid=sq, skv_valid=skv, has_mask=has_mask)
+        return pl.pallas_call(
+            kern,
+            grid=(batch * heads, sq_pad // bq, skv_pad // bk),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((batch * heads, sq_pad, d),
+                                           q.dtype),
+            scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(*operands)
+
+    def dkv_call():
+        in_specs = [
+            pl.BlockSpec((1, bq, d), lambda bh, ki, qi: (bh, qi, 0)),  # q
+            pl.BlockSpec((1, bk, d), lambda bh, ki, qi: (bh, ki, 0)),  # k
+            pl.BlockSpec((1, bk, d), lambda bh, ki, qi: (bh, ki, 0)),  # v
+            pl.BlockSpec((1, bq, d), lambda bh, ki, qi: (bh, qi, 0)),  # do
+            pl.BlockSpec((1, bq, 1), lambda bh, ki, qi: (bh, qi, 0)),  # lse
+            pl.BlockSpec((1, bq, 1), lambda bh, ki, qi: (bh, qi, 0)),  # delta
+        ]
+        operands = [qp, kp, vp, dop, lse, delta]
+        if has_mask:
+            maskp = jnp.pad(kv_mask.astype(jnp.int32),
+                            ((0, 0), (0, skv_pad - skv)))[:, None, :]
+            in_specs.append(pl.BlockSpec(
+                (1, 1, bk), lambda bh, ki, qi, h=heads: (bh // h, 0, ki)))
+            operands.append(maskp)
+        kern = functools.partial(
+            _flash_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, bq=bq,
+            bk=bk, sq_valid=sq, skv_valid=skv, has_mask=has_mask)
+        return pl.pallas_call(
+            kern,
+            grid=(batch * heads, skv_pad // bk, sq_pad // bq),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, bk, d), lambda bh, ki, qi: (bh, ki, 0)),
+                pl.BlockSpec((1, bk, d), lambda bh, ki, qi: (bh, ki, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((batch * heads, skv_pad, d), k.dtype),
+                jax.ShapeDtypeStruct((batch * heads, skv_pad, d), v.dtype),
+            ),
+            scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
+                            pltpu.VMEM((bk, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(*operands)
+
+    dq = dq_call().reshape(batch, heads, sq_pad, d)[:, :, :sq, :]
+    dk, dv = dkv_call()
+    dk = dk.reshape(batch, heads, skv_pad, d)[:, :, :skv, :]
+    dv = dv.reshape(batch, heads, skv_pad, d)[:, :, :skv, :]
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public entry point: Pallas forward + Pallas backward
 # ---------------------------------------------------------------------------
 
 
@@ -246,19 +488,15 @@ def _flash_attention_tpu(q, k, v, kv_mask, causal, sm_scale):
 
 
 def _flash_fwd(q, k, v, kv_mask, causal, sm_scale):
-    out = _flash_attention_pallas(q, k, v, kv_mask, causal, sm_scale)
-    return out, (q, k, v, kv_mask)
+    out, lse = _flash_attention_pallas(q, k, v, kv_mask, causal, sm_scale,
+                                       return_lse=True)
+    return out, (q, k, v, kv_mask, out, lse)
 
 
 def _flash_bwd(causal, sm_scale, residuals, g):
-    q, k, v, kv_mask = residuals
-    _, vjp_fn = jax.vjp(
-        lambda q_, k_, v_: mha_reference(
-            q_, k_, v_, kv_mask, causal=causal, sm_scale=sm_scale
-        ),
-        q, k, v,
-    )
-    dq, dk, dv = vjp_fn(g)
+    q, k, v, kv_mask, out, lse = residuals
+    dq, dk, dv = _flash_attention_bwd_pallas(
+        q, k, v, kv_mask, out, lse, g, causal, sm_scale)
     return dq, dk, dv, None
 
 

@@ -167,3 +167,58 @@ class TestPatchEmbed:
         ref = pe.patchify(jnp.asarray(x, jnp.float32), 14) @ w
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
         assert got.shape == (2, 4, 16)
+
+
+class TestFlashBackward:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_match_reference(self, causal, monkeypatch):
+        monkeypatch.setattr(attention, "_LANES", 128)
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        sq = skv = 160
+        q = _rand(k1, (1, 2, sq, 64))
+        k = _rand(k2, (1, 2, skv, 64))
+        v = _rand(k3, (1, 2, skv, 64))
+        g = _rand(k4, (1, 2, sq, 64))
+
+        # reference grads
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: attention.mha_reference(q_, k_, v_,
+                                                       causal=causal),
+            q, k, v)
+        dq_ref, dk_ref, dv_ref = vjp(g)
+
+        out, lse = attention._flash_attention_pallas(
+            q, k, v, None, causal, 64 ** -0.5, interpret=True,
+            block_q=128, block_k=128, return_lse=True)
+        dq, dk, dv = attention._flash_attention_bwd_pallas(
+            q, k, v, None, out, lse, g, causal, 64 ** -0.5,
+            interpret=True, block_q=128, block_k=128)
+        np.testing.assert_allclose(dq, dq_ref, rtol=2e-2, atol=2e-3)
+        np.testing.assert_allclose(dk, dk_ref, rtol=2e-2, atol=2e-3)
+        np.testing.assert_allclose(dv, dv_ref, rtol=2e-2, atol=2e-3)
+
+    def test_grads_with_kv_mask(self, monkeypatch):
+        key = jax.random.PRNGKey(1)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        q = _rand(k1, (2, 2, 16, 64))
+        k = _rand(k2, (2, 2, 40, 64))
+        v = _rand(k3, (2, 2, 40, 64))
+        g = _rand(k4, (2, 2, 16, 64))
+        mask = jnp.arange(40)[None, :] < jnp.array([25, 40])[:, None]
+
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: attention.mha_reference(q_, k_, v_, mask),
+            q, k, v)
+        dq_ref, dk_ref, dv_ref = vjp(g)
+        out, lse = attention._flash_attention_pallas(
+            q, k, v, mask, False, 64 ** -0.5, interpret=True,
+            return_lse=True)
+        dq, dk, dv = attention._flash_attention_bwd_pallas(
+            q, k, v, mask, out, lse, g, False, 64 ** -0.5, interpret=True)
+        np.testing.assert_allclose(dq, dq_ref, rtol=2e-2, atol=2e-3)
+        np.testing.assert_allclose(dk, dk_ref, rtol=2e-2, atol=2e-3)
+        np.testing.assert_allclose(dv, dv_ref, rtol=2e-2, atol=2e-3)
+        # masked-out kv rows get zero grads
+        np.testing.assert_allclose(np.asarray(dk)[0, :, 25:, :], 0.0,
+                                   atol=1e-6)
