@@ -92,6 +92,15 @@ def build_model_and_tokenizer(config, *, eval_mode: bool = False):
         vit_path=getattr(config.rgb_vision, "vit_name", None),
         llama_path=getattr(config.text, "path", None),
     )
+    bits = int(getattr(config, "bits", 16) or 16)
+    if bits in (4, 8) and cfg.stage != 0:
+        # bits-8/4 recipe parity (bitsandbytes base quantization,
+        # text_modal.py:91-109): frozen base in intN; LoRA attaches as a
+        # runtime side path (QLoRA) since a merge is impossible
+        from ..ops.quant import quantize_llama_layers
+
+        params["llama"]["layers"] = quantize_llama_layers(
+            params["llama"]["layers"], bits=bits)
     tokenizer = load_tokenizer(
         config.text.path,
         model_max_length=int(config.text.max_position_embeddings))

@@ -40,7 +40,6 @@ def _build_vlp_loader(config, tokenizer, rank, world_size) -> DataLoader:
 
     if stage <= 1 and (".tar" in str(data_path) or "{" in str(data_path)):
         # RS5M-style web-scale caption stream (brace-expanded tar shards)
-        from .collate import SupervisedCollator
         from .tario import RS5MDataset
 
         from . import conversation as conversation_lib

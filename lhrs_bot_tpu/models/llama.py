@@ -44,11 +44,27 @@ def _dense(x: jnp.ndarray, w) -> jnp.ndarray:
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _silu_mlp(x, w_gate, w_up, w_down):
-    gate = _dense(x, w_gate)
-    up = _dense(x, w_up)
-    return _dense(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
-                  w_down)
+def _proj(lp, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    """Projection with an optional runtime LoRA side path (QLoRA-style,
+    used when the base weight is quantized and cannot be merged into):
+    y = x W + (x A) B, with the lora scale pre-folded into B."""
+    y = _dense(x, lp[name])
+    a = lp.get(name + "__lora_a") if hasattr(lp, "get") else None
+    if a is not None:
+        b = lp[name + "__lora_b"]
+        y = y + jnp.dot(
+            jnp.dot(x, a.astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype),
+            b.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    return y
+
+
+def _silu_mlp(x, lp):
+    gate = _proj(lp, "w_gate", x)
+    up = _proj(lp, "w_up", x)
+    return _proj(lp, "w_down",
+                 jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up)
 
 
 def _cast_params(tree, compute_dtype):
@@ -158,13 +174,13 @@ def _qkv(x, lp, cfg: LlamaConfig, cos, sin):
     """Project + RoPE. x: (B, S, D) → q/k/v (B, H, S, hd)."""
     b, s, _ = x.shape
 
-    def proj(wm):
-        return _dense(x, wm).reshape(
+    def proj(name):
+        return _proj(lp, name, x).reshape(
             b, s, cfg.num_attention_heads, cfg.head_dim)
 
-    q = apply_rope(proj(lp["wq"]), cos, sin).transpose(0, 2, 1, 3)
-    k = apply_rope(proj(lp["wk"]), cos, sin).transpose(0, 2, 1, 3)
-    v = proj(lp["wv"]).transpose(0, 2, 1, 3)
+    q = apply_rope(proj("wq"), cos, sin).transpose(0, 2, 1, 3)
+    k = apply_rope(proj("wk"), cos, sin).transpose(0, 2, 1, 3)
+    v = proj("wv").transpose(0, 2, 1, 3)
     return q, k, v
 
 
@@ -175,9 +191,9 @@ def _block_full(x, lp, cfg: LlamaConfig, cos, sin, kv_mask):
     q, k, v = _qkv(h, lp, cfg, cos, sin)
     attn = flash_attention(q, k, v, kv_mask, causal=True)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
-    x = x + _dense(attn, lp["wo"])
+    x = x + _proj(lp, "wo", attn)
     h2 = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
-    x = x + _silu_mlp(h2, lp["w_gate"], lp["w_up"], lp["w_down"])
+    x = x + _silu_mlp(h2, lp)
     return x
 
 
@@ -250,9 +266,9 @@ def _block_prefill(x, lp, kc, vc, cfg: LlamaConfig, cos, sin, prompt_len):
     q, k, v = _qkv(h, lp, cfg, cos, sin)
     attn = flash_attention(q, k, v, causal=True)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
-    x = x + _dense(attn, lp["wo"])
+    x = x + _proj(lp, "wo", attn)
     h2 = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
-    x = x + _silu_mlp(h2, lp["w_gate"], lp["w_up"], lp["w_down"])
+    x = x + _silu_mlp(h2, lp)
     # write into the first s slots of the cache
     kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0, 0))
     vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0, 0))
@@ -327,9 +343,9 @@ def llama_decode_step(
         vc = _write_at(vc, v, cache.length)
         attn = decode_attention(q, kc, vc, new_len)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_size)
-        x_mid = carry + _dense(attn, lp["wo"])
+        x_mid = carry + _proj(lp, "wo", attn)
         h2 = rms_norm(x_mid, lp["post_attn_norm"], cfg.rms_norm_eps)
-        x_out = x_mid + _silu_mlp(h2, lp["w_gate"], lp["w_up"], lp["w_down"])
+        x_out = x_mid + _silu_mlp(h2, lp)
         return x_out, (kc, vc)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))

@@ -77,6 +77,20 @@ def init_lora_params(rng: jax.Array, llama_cfg: LlamaConfig,
     return params
 
 
+def attach_runtime_lora(base_layers: Dict[str, jnp.ndarray], lora_params,
+                        lora_cfg: LoraConfig) -> Dict[str, jnp.ndarray]:
+    """QLoRA-style attachment: keep the (possibly quantized) base weights
+    untouched and add `<name>__lora_a` / `<name>__lora_b` entries consumed by
+    the decoder's _proj side path (y = xW + (xA)(B·scale)). Used when the
+    base is quantized and a merge is impossible (reference parity: peft on a
+    bitsandbytes-quantized base, text_modal.py:91-151)."""
+    out = dict(base_layers)
+    for name, ab in lora_params.items():
+        out[name + "__lora_a"] = ab["a"]
+        out[name + "__lora_b"] = ab["b"] * lora_cfg.scale
+    return out
+
+
 def merge_lora(base_layers: Dict[str, jnp.ndarray], lora_params,
                lora_cfg: LoraConfig, *, stop_base_gradient: bool = True):
     """Return a layers tree with W := W + scale * A @ B for each target.

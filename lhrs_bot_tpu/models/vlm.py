@@ -105,13 +105,23 @@ def init_vlm_params(rng: jax.Array, cfg: VLMConfig, dtype=jnp.float32):
 
 def effective_llama_params(params, cfg: VLMConfig, *,
                            stop_base_gradient: bool = True):
-    """Base decoder params with LoRA merged in (if present)."""
+    """Base decoder params with LoRA applied (if present): merged into the
+    base weights when they are dense, attached as a runtime side path when
+    the base is quantized (QLoRA)."""
     llama = params["llama"]
     if cfg.lora is None or "lora" not in params:
         return llama
-    merged_layers = merge_lora(llama["layers"], params["lora"], cfg.lora,
-                               stop_base_gradient=stop_base_gradient)
-    return {**llama, "layers": merged_layers}
+    from ..ops.quant import QuantizedTensor
+    from .lora import attach_runtime_lora
+
+    if any(isinstance(w, QuantizedTensor)
+           for w in llama["layers"].values()):
+        layers = attach_runtime_lora(llama["layers"], params["lora"],
+                                     cfg.lora)
+    else:
+        layers = merge_lora(llama["layers"], params["lora"], cfg.lora,
+                            stop_base_gradient=stop_base_gradient)
+    return {**llama, "layers": layers}
 
 
 def encode_image(params, images: jnp.ndarray, cfg: VLMConfig,

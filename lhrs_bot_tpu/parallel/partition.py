@@ -53,7 +53,8 @@ def llama_param_specs(params_llama) -> Any:
     """PartitionSpec pytree matching init_llama_params' structure."""
     specs = {
         "embed_tokens": P(None, MODEL_AXIS),  # hidden split; gather stays local
-        "layers": {k: _LLAMA_LAYER_SPECS[k] for k in params_llama["layers"]},
+        "layers": {k: _LLAMA_LAYER_SPECS.get(k, P())
+                   for k in params_llama["layers"]},
         "final_norm": P(),
         "lm_head": P(None, MODEL_AXIS),  # vocab split
     }
@@ -119,7 +120,7 @@ def llama_serving_specs(llama_params) -> Any:
         "final_norm": base["final_norm"],
         "lm_head": base["lm_head"],
         "layers": {
-            k: adapt(base["layers"][k], v)
+            k: adapt(base["layers"].get(k, P()), v)
             for k, v in llama_params["layers"].items()
         },
     }

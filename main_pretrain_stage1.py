@@ -57,7 +57,7 @@ def main(config=None):
 
     if config.rank == 0:
         save_final(config.output, trainer.params, cfg)
-        logger.info("stage-1 training complete")
+        logger.info("stage-%d training complete", int(config.stage))
 
 
 if __name__ == "__main__":

@@ -52,7 +52,7 @@ def main():
 
     if config.rank == 0:
         save_final(config.output, trainer.params, cfg)
-        logger.info("stage-3 training complete")
+        logger.info("stage-%d training complete", int(config.stage))
 
 
 if __name__ == "__main__":

@@ -282,3 +282,54 @@ class TestVLM:
         out = encode_image(params, jnp.zeros((2, 28, 28, 3), jnp.uint8), cfg,
                            compute_dtype=F32)
         assert out.shape == (2, cfg.pooler.num_query, cfg.llama.hidden_size)
+
+
+class TestRuntimeLora:
+    def test_runtime_path_matches_merge(self):
+        """With a dense base, runtime-attached LoRA logits must equal the
+        merged-weights logits (same math, different plumbing)."""
+        from lhrs_bot_tpu.models.lora import attach_runtime_lora, merge_lora
+
+        cfg = VLMConfig.tiny_test(stage=2, lora=True)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        params["lora"] = jax.tree_util.tree_map(
+            lambda x: x + 0.02, params["lora"])
+        ids = jnp.array([[1, 5, 7, 9, 12, 3]])
+
+        merged = merge_lora(params["llama"]["layers"], params["lora"],
+                            cfg.lora, stop_base_gradient=False)
+        l_merged = llama_apply({**params["llama"], "layers": merged},
+                               cfg.llama, input_ids=ids, compute_dtype=F32)
+        attached = attach_runtime_lora(params["llama"]["layers"],
+                                       params["lora"], cfg.lora)
+        l_runtime = llama_apply({**params["llama"], "layers": attached},
+                                cfg.llama, input_ids=ids, compute_dtype=F32)
+        np.testing.assert_allclose(np.asarray(l_runtime),
+                                   np.asarray(l_merged),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_qlora_quantized_base_trains(self):
+        """int8 base + runtime LoRA: loss computes, grads reach adapters."""
+        from lhrs_bot_tpu.ops.quant import quantize_llama_layers
+
+        cfg = VLMConfig.tiny_test(stage=2, lora=True)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        params["llama"]["layers"] = quantize_llama_layers(
+            params["llama"]["layers"], bits=8)
+        ids = np.random.default_rng(0).integers(3, 200, size=(2, 8))
+        ids[:, 1] = IMAGE_TOKEN_INDEX
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "labels": jnp.asarray(ids),
+            "attention_mask": jnp.ones((2, 8), bool),
+            "images": jnp.zeros((2, 28, 28, 3), jnp.uint8),
+        }
+
+        def loss_fn(lora):
+            p = {**params, "lora": lora}
+            return vlm_forward_loss(p, cfg, batch,
+                                    compute_dtype=F32)["total_loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params["lora"])
+        assert np.isfinite(float(loss))
+        assert float(jnp.abs(grads["wq"]["b"]).max()) > 0.0
