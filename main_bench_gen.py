@@ -35,7 +35,8 @@ def main():
     conv_lib.set_default_conversation(
         getattr(config, "prompt_template", "llava_llama_2"))
 
-    dataset = LHRSBenchDataset(config.data_path, config.data_target)
+    dataset = LHRSBenchDataset(config.data_path, config.data_target,
+                               image_size=int(config.rgb_vision.input_size[0]))
     gen_cfg = GenerationConfig(
         max_new_tokens=10, do_sample=False,
         eos_token_id=tokenizer.eos_token_id,

@@ -33,6 +33,7 @@ def main():
 
     dataset = VGEvalDataset(
         config.data_path, config.data_target, tokenizer,
+        image_size=int(config.rgb_vision.input_size[0]),
         prompt_type=getattr(config, "prompt_template", "llava_llama_2"))
     collator = GenerationCollator(tokenizer, extra_keys=("target",))
     gen_cfg = GenerationConfig(

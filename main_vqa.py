@@ -62,6 +62,7 @@ def main():
 
     prefix = getattr(config, "data_target", None) or "LR"
     dataset = RSVQADataset(config.data_path, tokenizer, prefix=prefix,
+                           image_size=int(config.rgb_vision.input_size[0]),
                            prompt_type=getattr(config, "prompt_template",
                                                "llava_llama_2"))
     collator = GenerationCollator(
