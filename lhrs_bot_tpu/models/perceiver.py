@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import flash_attention
-from ..ops.mlp import gelu_mlp
+from ..ops.mlp import dense_any, gelu_mlp
 from ..ops.rmsnorm import layer_norm
 
 
@@ -108,7 +108,7 @@ def _cross_block(q_tokens, kv_tokens, lp, cfg: PerceiverConfig, kv_mask=None):
     kvn = layer_norm(kv_tokens, lp["ln_kv_scale"], lp["ln_kv_bias"], cfg.ln_eps)
 
     def proj(x, wm, bm, s):
-        out = jnp.dot(x, wm, preferred_element_type=jnp.float32) + bm
+        out = dense_any(x, wm, bm)
         return out.astype(x.dtype).reshape(b, s, cfg.heads, cfg.head_dim)
 
     q = proj(qn, lp["wq"], lp["bq"], sq).transpose(0, 2, 1, 3)
@@ -116,9 +116,7 @@ def _cross_block(q_tokens, kv_tokens, lp, cfg: PerceiverConfig, kv_mask=None):
     v = proj(kvn, lp["wv"], lp["bv"], skv).transpose(0, 2, 1, 3)
     attn = flash_attention(q, k, v, kv_mask, causal=False)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, sq, h)
-    attn = (
-        jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32) + lp["bo"]
-    ).astype(q_tokens.dtype)
+    attn = dense_any(attn, lp["wo"], lp["bo"]).astype(q_tokens.dtype)
     x = q_tokens + attn
 
     h2 = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.ln_eps)
@@ -140,10 +138,9 @@ def perceiver_resample(
     launches); measured slower than the unrolled group loop on v5e (XLA fuses
     the independent groups well), so the loop is the default.
     """
-    cast = lambda t: jax.tree_util.tree_map(
-        lambda p: p.astype(compute_dtype)
-        if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
-    layers = cast(params["layers"])
+    from .llama import _cast_params
+
+    layers = _cast_params(params["layers"], compute_dtype)
     image_embs = image_embs.astype(compute_dtype)
 
     if "in_proj_w" in params:

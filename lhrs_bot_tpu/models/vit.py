@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import flash_attention
-from ..ops.mlp import gelu_mlp
+from ..ops.mlp import dense_any, gelu_mlp
 from ..ops.patch_embed import CLIP_MEAN, CLIP_STD, patch_embed, patchify
 from ..ops.rmsnorm import layer_norm
 
@@ -114,12 +114,13 @@ def init_vit_params(rng: jax.Array, cfg: ViTConfig, dtype=jnp.float32):
 
 
 def _encoder_layer(x: jnp.ndarray, lp, cfg: ViTConfig) -> jnp.ndarray:
-    """One pre-LN transformer block. x: (B, S, W)."""
+    """One pre-LN transformer block. x: (B, S, W). Projections go through
+    dense_any, so int8-quantized weights take the W8A8 MXU path."""
     b, s, w = x.shape
     h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], cfg.ln_eps)
 
     def proj(h_, wm, bm):
-        out = jnp.dot(h_, wm, preferred_element_type=jnp.float32) + bm
+        out = dense_any(h_, wm, bm)
         return out.astype(x.dtype).reshape(b, s, cfg.heads, cfg.head_dim)
 
     q = proj(h, lp["wq"], lp["bq"]).transpose(0, 2, 1, 3)
@@ -127,9 +128,7 @@ def _encoder_layer(x: jnp.ndarray, lp, cfg: ViTConfig) -> jnp.ndarray:
     v = proj(h, lp["wv"], lp["bv"]).transpose(0, 2, 1, 3)
     attn = flash_attention(q, k, v, causal=False)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, w)
-    attn = (
-        jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32) + lp["bo"]
-    ).astype(x.dtype)
+    attn = dense_any(attn, lp["wo"], lp["bo"]).astype(x.dtype)
     x = x + attn
 
     h2 = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.ln_eps)
@@ -197,10 +196,9 @@ def vit_encode(
     extract_stages[i] layers, drop CLS, concat along the token axis. Layers
     beyond the last tap are skipped entirely.
     """
-    cast = lambda t: jax.tree_util.tree_map(
-        lambda p: p.astype(compute_dtype)
-        if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
-    layers = cast(params["layers"])
+    from .llama import _cast_params
+
+    layers = _cast_params(params["layers"], compute_dtype)
 
     x = vit_embed(params, images, cfg, compute_dtype)
     x = layer_norm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"],

@@ -10,6 +10,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .quant import QuantizedTensor, w8a8_matmul
+
+
+def dense_any(x: jnp.ndarray, w, b=None) -> jnp.ndarray:
+    """Matmul accepting bf16/f32 weights or QuantizedTensors; quantized
+    weights take the full-int8 (W8A8, dynamic activation quant) MXU path."""
+    if isinstance(w, QuantizedTensor):
+        y = w8a8_matmul(x, w)
+    else:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
 
 def silu_mlp(
     x: jnp.ndarray,
@@ -32,13 +46,11 @@ def gelu_mlp(
     *,
     quick_gelu: bool = False,
 ) -> jnp.ndarray:
-    h = jnp.dot(x, w_fc, preferred_element_type=jnp.float32) + b_fc
+    h = dense_any(x, w_fc).astype(jnp.float32) + b_fc
     if quick_gelu:
         # CLIP's QuickGELU: x * sigmoid(1.702 x)
         h = h * jax.nn.sigmoid(1.702 * h)
     else:
         h = jax.nn.gelu(h, approximate=False)
     h = h.astype(x.dtype)
-    return (
-        jnp.dot(h, w_proj, preferred_element_type=jnp.float32) + b_proj
-    ).astype(x.dtype)
+    return (dense_any(h, w_proj).astype(jnp.float32) + b_proj).astype(x.dtype)

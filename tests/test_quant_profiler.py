@@ -93,3 +93,43 @@ class TestProfilerHook:
             hook.after_iter()
         hook.after_train()
         assert calls == [("start", str(tmp_path)), ("stop",)]
+
+
+class TestW8A8:
+    def test_activation_quant_roundtrip(self):
+        from lhrs_bot_tpu.ops.quant import quantize_activation
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 64), jnp.bfloat16)
+        q, s = quantize_activation(x)
+        back = q.astype(jnp.float32) * s
+        err = float(jnp.abs(back - x.astype(jnp.float32)).max()
+                    / jnp.abs(x.astype(jnp.float32)).max())
+        assert err < 0.02
+
+    def test_w8a8_matmul_close(self):
+        from lhrs_bot_tpu.ops.quant import quantize_int8, w8a8_matmul
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        x = jax.random.normal(k1, (8, 64), jnp.bfloat16)
+        w = jax.random.normal(k2, (64, 32))
+        got = w8a8_matmul(x, quantize_int8(w), out_dtype=jnp.float32)
+        ref = jnp.dot(x.astype(jnp.float32), w)
+        rel = float(jnp.abs(got - ref).max() / jnp.abs(ref).max())
+        assert rel < 0.06
+
+    def test_vit_w8a8_close_to_bf16(self):
+        from lhrs_bot_tpu.models.vit import ViTConfig, init_vit_params, vit_encode
+        from lhrs_bot_tpu.ops.quant import quantize_vision_layers
+
+        cfg = ViTConfig.tiny_test()
+        params = init_vit_params(jax.random.PRNGKey(0), cfg)
+        img = np.random.default_rng(0).integers(
+            0, 255, (2, 28, 28, 3)).astype(np.uint8)
+        ref = vit_encode(params, jnp.asarray(img), cfg,
+                         compute_dtype=jnp.float32)
+        qparams = {**params,
+                   "layers": quantize_vision_layers(params["layers"])}
+        got = vit_encode(qparams, jnp.asarray(img), cfg,
+                         compute_dtype=jnp.float32)
+        rel = float(jnp.abs(got - ref).max() / (jnp.abs(ref).max() + 1e-9))
+        assert rel < 0.25, rel  # W8A8 at tiny scale; accuracy eval gates real use
