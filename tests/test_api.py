@@ -1,0 +1,107 @@
+"""HTTP serving API: end-to-end over a live socket with the tiny model."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lhrs_bot_tpu.models import VLMConfig, init_vlm_params
+from lhrs_bot_tpu.serve.api import ServingFrontend, make_handler
+from lhrs_bot_tpu.serve.engine import GenerationEngine
+from lhrs_bot_tpu.serve.scheduler import ContinuousBatchingScheduler
+
+from .fake_tokenizer import FakeTokenizer
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = VLMConfig.tiny_test(stage=0)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    engine = GenerationEngine(cfg, params, max_seq_len=96,
+                              compute_dtype=jnp.float32,
+                              cache_dtype=jnp.float32)
+    sched = ContinuousBatchingScheduler(
+        cfg, params, engine.llama_params, max_batch=2, max_seq_len=96,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+        prompt_bucket=16)
+    frontend = ServingFrontend(sched, FakeTokenizer(), image_size=28)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(frontend))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+    frontend.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/generate", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestServingAPI:
+    def test_health(self, server):
+        with urllib.request.urlopen(server + "/health", timeout=30) as resp:
+            data = json.loads(resp.read())
+        assert data["status"] == "ok"
+
+    def test_generate_text_only(self, server):
+        status, data = _post(server, {"prompt": "describe the scene",
+                                      "max_new_tokens": 4})
+        assert status == 200
+        assert data["finish_reason"] == "stop"
+        assert isinstance(data["tokens"], list)
+
+    def test_generate_with_image(self, server):
+        from PIL import Image
+
+        img = Image.fromarray(np.zeros((32, 32, 3), np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        status, data = _post(server, {
+            "prompt": "what is this",
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+            "max_new_tokens": 3})
+        assert status == 200
+        assert data["finish_reason"] == "stop"
+
+    def test_concurrent_requests(self, server):
+        results = []
+
+        def call(i):
+            results.append(_post(server, {"prompt": f"query {i}",
+                                          "max_new_tokens": 3}))
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 4
+        assert all(s == 200 for s, _ in results)
+
+    def test_bad_request(self, server):
+        status, data = _post(server, {"no_prompt": True})
+        assert status == 400
+        assert "error" in data
+
+    def test_unknown_route(self, server):
+        try:
+            with urllib.request.urlopen(server + "/nope", timeout=30) as r:
+                status = r.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 404
