@@ -1,0 +1,1 @@
+from . import caption, metrics  # noqa: F401

@@ -1,0 +1,2 @@
+from .engine import GenerationConfig, GenerationEngine  # noqa: F401
+from .scheduler import ContinuousBatchingScheduler, Request  # noqa: F401
