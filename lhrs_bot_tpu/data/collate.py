@@ -34,6 +34,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _check_single_image(rows) -> None:
+    """The static-shape splice supports at most one image token per sample
+    (the trained configuration; reference datasets guarantee this too,
+    cap_dataset.py:401-427). Catch violations at the host boundary instead
+    of producing silently wrong masks on device."""
+    from ..models.constants import IMAGE_TOKEN_INDEX
+
+    for i, row in enumerate(rows):
+        n = int(np.sum(np.asarray(row) == IMAGE_TOKEN_INDEX))
+        if n > 1:
+            raise ValueError(
+                f"sample {i} contains {n} image tokens; at most one is "
+                "supported per sequence")
+
+
 class SupervisedCollator:
     """Training batches: right-padded ids/labels/mask + stacked images.
 
@@ -51,6 +66,7 @@ class SupervisedCollator:
     def __call__(self, instances: Sequence[Dict]) -> Dict[str, np.ndarray]:
         ids = [np.asarray(inst["input_ids"], np.int64)[:self.max_length]
                for inst in instances]
+        _check_single_image(ids)
         labels = [np.asarray(inst["labels"], np.int64)[:self.max_length]
                   for inst in instances]
         width = min(_round_up(max(len(x) for x in ids), self.pad_multiple),
@@ -86,6 +102,7 @@ class GenerationCollator:
     def __call__(self, instances: Sequence[Dict]) -> Dict[str, np.ndarray]:
         ids = [np.asarray(inst["input_ids"], np.int64)[:self.max_length]
                for inst in instances]
+        _check_single_image(ids)
         width = min(_round_up(max(len(x) for x in ids), self.pad_multiple),
                     self.max_length)
         pad_id = self.tokenizer.pad_token_id

@@ -147,6 +147,12 @@ class ContinuousBatchingScheduler:
 
         t = max(len(r.input_ids) for r in batch)
         width = min(_round_up(t, self.prompt_bucket), self.max_seq_len)
+        if t > width:
+            import logging
+
+            logging.getLogger("lhrs_tpu").warning(
+                "prompt length %d exceeds max_seq_len %d — truncating",
+                t, self.max_seq_len)
         ids = np.full((self.max_batch, width), self.pad, np.int32)
         lens = np.zeros(self.max_batch, np.int32)
         has_image = any(r.image is not None for r in batch)

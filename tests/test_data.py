@@ -172,3 +172,16 @@ class TestCollators:
         items = self._items(tok, lens=(20,))
         batch = coll(items)
         assert batch["input_ids"].shape == (1, 8)
+
+
+class TestMultiImageGuard:
+    def test_collator_rejects_two_image_tokens(self, tok):
+        items = [{
+            "input_ids": np.asarray([1, IMAGE_TOKEN_INDEX, 5,
+                                     IMAGE_TOKEN_INDEX, 7]),
+            "labels": np.asarray([1, IMAGE_TOKEN_INDEX, 5,
+                                  IMAGE_TOKEN_INDEX, 7]),
+        }]
+        coll = SupervisedCollator(tok)
+        with pytest.raises(ValueError, match="image tokens"):
+            coll(items)
