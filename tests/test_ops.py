@@ -222,3 +222,21 @@ class TestFlashBackward:
         # masked-out kv rows get zero grads
         np.testing.assert_allclose(np.asarray(dk)[0, :, 25:, :], 0.0,
                                    atol=1e-6)
+
+
+class TestCacheRowUpdate:
+    def test_writes_row_preserves_rest(self):
+        from lhrs_bot_tpu.ops.cache_update import cache_row_update
+
+        rng = np.random.default_rng(0)
+        base = jnp.asarray(rng.normal(size=(2, 4, 16, 8)).astype(np.float32))
+        new = jnp.asarray(rng.normal(size=(2, 4, 1, 8)).astype(np.float32))
+        lens = jnp.array([3, 15], jnp.int32)
+        out = np.asarray(cache_row_update(base, new, lens, interpret=True))
+        for b, p in enumerate([3, 15]):
+            np.testing.assert_array_equal(out[b, :, p, :],
+                                          np.asarray(new)[b, :, 0, :])
+            mask = np.ones(16, bool)
+            mask[p] = False
+            np.testing.assert_array_equal(out[b][:, mask, :],
+                                          np.asarray(base)[b][:, mask, :])
