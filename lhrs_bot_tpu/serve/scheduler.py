@@ -30,7 +30,7 @@ import numpy as np
 
 from ..models.llama import KVCache, llama_decode_step, llama_prefill
 from ..models.vlm import VLMConfig, prepare_multimodal_inputs
-from .engine import GenerationConfig
+from .engine import GenerationConfig, _sample_token
 
 
 @dataclasses.dataclass
@@ -62,6 +62,8 @@ class ContinuousBatchingScheduler:
         eos_token_id: int = 2,
         pad_token_id: int = 0,
         prompt_bucket: int = 64,
+        gen_cfg: Optional[GenerationConfig] = None,
+        rng: Optional[jax.Array] = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -69,8 +71,11 @@ class ContinuousBatchingScheduler:
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len
         self.compute_dtype = compute_dtype
-        self.eos = eos_token_id
-        self.pad = pad_token_id
+        self.gen_cfg = gen_cfg or GenerationConfig(
+            eos_token_id=eos_token_id, pad_token_id=pad_token_id)
+        self.eos = self.gen_cfg.eos_token_id
+        self.pad = self.gen_cfg.pad_token_id
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.prompt_bucket = prompt_bucket
 
         self.cache = KVCache.create(cfg.llama, max_batch, max_seq_len,
@@ -88,7 +93,7 @@ class ContinuousBatchingScheduler:
 
     # -- jitted programs ------------------------------------------------------
 
-    def _prefill(self, input_ids, images, cache, slot_mask, seq_lens, *,
+    def _prefill(self, input_ids, images, cache, slot_mask, seq_lens, rng, *,
                  width: int):
         """Prefill `width`-wide prompts into the slots marked by slot_mask
         (bool (max_batch,)); rows not selected keep their cache content."""
@@ -113,10 +118,10 @@ class ContinuousBatchingScheduler:
             v=jnp.where(sel, tmp.v, cache.v),
             length=jnp.where(slot_mask, tmp.length, cache.length),
         )
-        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        first = _sample_token(logits, rng, self.gen_cfg)
         return first, new_cache
 
-    def _tick(self, tokens, cache, active):
+    def _tick(self, tokens, cache, active, rng):
         """One decode step over all slots; inactive slots are frozen by
         keeping their cache length (they still compute, results discarded)."""
         embeds = jnp.take(self.llama_params["embed_tokens"],
@@ -124,7 +129,7 @@ class ContinuousBatchingScheduler:
         logits, new_cache = llama_decode_step(
             self.llama_params, self.cfg.llama, cache,
             inputs_embeds=embeds, compute_dtype=self.compute_dtype)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = _sample_token(logits, rng, self.gen_cfg)
         nxt = jnp.where(active, nxt, self.pad)
         # inactive slots must not grow their cache
         new_cache = KVCache(
@@ -169,9 +174,11 @@ class ContinuousBatchingScheduler:
             if imgs is not None and req.image is not None:
                 imgs[slot] = req.image
 
+        self._rng, step_rng = jax.random.split(self._rng)
         first, self.cache = self._prefill_jit(
             jnp.asarray(ids), jnp.asarray(imgs) if imgs is not None else None,
-            self.cache, jnp.asarray(mask), jnp.asarray(lens), width=width)
+            self.cache, jnp.asarray(mask), jnp.asarray(lens), step_rng,
+            width=width)
         first_host = np.asarray(first)
 
         for slot, req in zip(slots, batch):
@@ -200,9 +207,10 @@ class ContinuousBatchingScheduler:
         """One decode tick over all active slots; returns #still-active."""
         if not self.active.any():
             return 0
+        self._rng, step_rng = jax.random.split(self._rng)
         nxt, self.cache = self._tick_jit(
             jnp.asarray(self.last_tokens), self.cache,
-            jnp.asarray(self.active))
+            jnp.asarray(self.active), step_rng)
         nxt_host = np.asarray(nxt)
         for slot in range(self.max_batch):
             if self.active[slot]:

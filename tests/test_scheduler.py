@@ -76,3 +76,24 @@ class TestScheduler:
         sched.run(reqs)
         assert all(r.done for r in reqs)
         assert all(len(r.output_ids) >= 1 for r in reqs)
+
+
+class TestSamplingScheduler:
+    def test_sampled_generation_runs_and_varies(self, setup):
+        cfg, params, engine, _ = setup
+        sched = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=2, max_seq_len=96,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+            prompt_bucket=16,
+            gen_cfg=GenerationConfig(do_sample=True, temperature=1.5,
+                                     top_p=0.95,
+                                     eos_token_id=cfg.llama.eos_token_id))
+        rng = np.random.default_rng(3)
+        prompts = [rng.integers(3, 200, size=(6,)).astype(np.int32)
+                   for _ in range(4)]
+        reqs = [Request(uid=i, input_ids=p, max_new_tokens=6)
+                for i, p in enumerate(prompts)]
+        sched.run(reqs)
+        assert all(r.done for r in reqs)
+        # same prompts, high temperature: some outputs should differ
+        assert len({tuple(r.output_ids) for r in reqs}) > 1
