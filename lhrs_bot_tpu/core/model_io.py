@@ -41,9 +41,30 @@ def load_pretrained(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     params = init_vlm_params(rng, cfg, dtype)
 
+    def fit(a, ref):
+        """Tolerate row-count mismatches on embedding-like tensors: the
+        reference resizes embeddings when special tokens are added
+        (text_modal.py:219-236); overlapping rows are copied, new rows keep
+        their init."""
+        a = jnp.asarray(a, ref.dtype)
+        if a.shape == ref.shape:
+            return a
+        if a.ndim == ref.ndim and a.shape[1:] == ref.shape[1:]:
+            n = min(a.shape[0], ref.shape[0])
+            logger.warning(
+                "size mismatch %s vs %s — copying %d overlapping rows",
+                a.shape, ref.shape, n)
+            return ref.at[:n].set(a[:n])
+        if a.ndim == ref.ndim and a.shape[:-1] == ref.shape[:-1]:
+            n = min(a.shape[-1], ref.shape[-1])
+            logger.warning(
+                "size mismatch %s vs %s — copying %d overlapping cols",
+                a.shape, ref.shape, n)
+            return ref.at[..., :n].set(a[..., :n])
+        raise ValueError(f"incompatible shapes {a.shape} vs {ref.shape}")
+
     def as_tree(np_tree, like):
-        return jax.tree_util.tree_map(
-            lambda a, ref: jnp.asarray(a, ref.dtype), np_tree, like)
+        return jax.tree_util.tree_map(fit, np_tree, like)
 
     if vit_path and os.path.isdir(vit_path):
         logger.info("loading CLIP vision tower from %s", vit_path)
@@ -62,13 +83,13 @@ def load_pretrained(
         if "pooler" in loaded:
             params["pooler"] = as_tree(loaded["pooler"], params["pooler"])
         for key, val in loaded.get("extra", {}).items():
-            if "embed_tokens" in key and val.shape == params[
-                    "llama"]["embed_tokens"].shape:
-                params["llama"]["embed_tokens"] = jnp.asarray(val, dtype)
+            if "embed_tokens" in key:
+                params["llama"]["embed_tokens"] = fit(
+                    val, params["llama"]["embed_tokens"])
             if "lm_head" in key:
-                w = val.T if val.shape[0] == cfg.llama.vocab_size else val
-                if w.shape == params["llama"]["lm_head"].shape:
-                    params["llama"]["lm_head"] = jnp.asarray(w, dtype)
+                w = val.T if val.shape[0] != cfg.llama.hidden_size else val
+                params["llama"]["lm_head"] = fit(
+                    w, params["llama"]["lm_head"])
 
         # TextLoRA detect-and-merge (UniBind.py:105-116)
         lora_dir = os.path.join(os.path.dirname(model_path), "TextLoRA")

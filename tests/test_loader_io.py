@@ -242,3 +242,46 @@ class TestBuildLoaderTar:
         assert b["images"].shape == (2, 28, 28, 3)
         assert b["input_ids"].shape[0] == 2
         assert (b["labels"] != -100).any()
+
+
+class TestVocabResizeTolerance:
+    def test_smaller_checkpoint_vocab_loads(self, tmp_path):
+        """Reference checkpoints may carry resized embeddings (special
+        tokens); overlapping rows load, the rest keeps its init."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from lhrs_bot_tpu.core.model_io import load_pretrained, save_final
+        from lhrs_bot_tpu.models import VLMConfig, init_vlm_params
+        from lhrs_bot_tpu.core import torch_import as ti
+
+        cfg = VLMConfig.tiny_test(stage=2, lora=True)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        save_final(str(tmp_path), params, cfg)
+
+        # target model with a LARGER vocab (e.g. +4 special tokens)
+        bigger_llama = dataclasses.replace(cfg.llama,
+                                           vocab_size=cfg.llama.vocab_size + 4)
+        big_cfg = dataclasses.replace(cfg, llama=bigger_llama)
+        # write an HF-style llama dir is overkill; exercise via FINAL.pt's
+        # extra embed path instead: craft extra dict manually
+        import numpy as np
+        import torch
+
+        ckpt = torch.load(str(tmp_path / "FINAL.pt"), map_location="cpu",
+                          weights_only=False)
+        ckpt["other_ckpt"]["embed_tokens.weight"] = torch.randn(
+            cfg.llama.vocab_size, cfg.llama.hidden_size)
+        torch.save(ckpt, str(tmp_path / "FINAL.pt"))
+
+        loaded = load_pretrained(big_cfg,
+                                 model_path=str(tmp_path / "FINAL.pt"))
+        assert loaded["llama"]["embed_tokens"].shape[0] == \
+            cfg.llama.vocab_size + 4
+        # the overlapping rows actually came from the checkpoint
+        np.testing.assert_allclose(
+            np.asarray(loaded["llama"]["embed_tokens"])[:cfg.llama.vocab_size],
+            ckpt["other_ckpt"]["embed_tokens.weight"].numpy(),
+            rtol=1e-5, atol=1e-6)
