@@ -62,7 +62,7 @@ def make_run(B):
         return jnp.sum(toks) + jnp.sum(last)
     return jax.jit(run)
 
-for B in (1, 8):
+for B in (1, 8, 16, 32):
     embeds = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.hidden_size), jnp.bfloat16)
     run = make_run(B)
     t0 = time.perf_counter()
