@@ -219,3 +219,74 @@ class TestMeshEngine:
         out_single = single.generate(ids, lens, gen_cfg=gcfg)
         out_sharded = sharded.generate(ids, lens, gen_cfg=gcfg)
         assert out_single == out_sharded
+
+
+class TestEvalProtocols:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        engine = GenerationEngine(cfg, params, max_seq_len=96,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.float32)
+        return cfg, params, engine
+
+    def test_cls_and_caption_eval_fns(self, setup, tmp_path):
+        cfg, params, engine = setup
+        from tests.fake_tokenizer import FakeTokenizer
+
+        tok = FakeTokenizer()
+
+        class ToyClsDS:
+            class_names = ["river", "forest"]
+
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                return {"image": np.zeros((28, 28, 3), np.uint8),
+                        "label": i % 2}
+
+        class ToyCapDS:
+            def __len__(self):
+                return 3
+
+            def __getitem__(self, i):
+                return {"image": np.zeros((28, 28, 3), np.uint8),
+                        "caption": f"a scene number {i}"}
+
+        from lhrs_bot_tpu.eval.protocols import (
+            make_caption_eval_fn, make_cls_eval_fn)
+
+        cls_fn = make_cls_eval_fn(engine, tok, ToyClsDS(),
+                                  ToyClsDS.class_names, batch_size=2,
+                                  max_new_tokens=3)
+        m = cls_fn()
+        assert 0.0 <= m["accuracy"] <= 1.0
+
+        cap_fn = make_caption_eval_fn(engine, tok, ToyCapDS(), batch_size=2,
+                                      max_new_tokens=3)
+        m2 = cap_fn()
+        for key in ("bleu4", "cider", "rouge_l", "accuracy"):
+            assert key in m2
+
+    def test_pluggable_into_eval_hook(self, tmp_path):
+        from lhrs_bot_tpu.train.hooks import EvalHook
+
+        calls = []
+        hook = EvalHook(period=2, eval_fn=lambda: (calls.append(1) or
+                                                   {"accuracy": len(calls)}),
+                        save_best=False)
+
+        class FakeTrainer:
+            cur_iter = 0
+
+            class metric_storage:
+                @staticmethod
+                def update(**kw):
+                    pass
+        hook.trainer = FakeTrainer()
+        for it in range(4):
+            hook.trainer.cur_iter = it
+            hook.after_iter()
+        assert len(calls) == 2 and hook.best == 2
