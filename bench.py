@@ -132,18 +132,41 @@ def bench_prefill():
 
 
 def main():
-    tok_s = bench_decode()
-    img_s = bench_prefill()
-    print(json.dumps({
-        "metric": "llama2_7b_decode_int8_single_chip",
-        "value": round(tok_s, 2),
-        "unit": "tok/s/seq",
-        "vs_baseline": round(tok_s / DECODE_TARGET, 4),
-        "extra": {
-            "vit_perceiver_prefill_img_per_s": round(img_s, 2),
-            "prefill_vs_target": round(img_s / PREFILL_TARGET, 4),
-        },
-    }))
+    # failsafe: always emit one JSON line, even if a sub-benchmark dies
+    tok_s = img_s = None
+    err = None
+    try:
+        tok_s = bench_decode()
+    except Exception as exc:  # noqa: BLE001
+        err = f"decode: {exc}"
+    try:
+        img_s = bench_prefill()
+    except Exception as exc:  # noqa: BLE001
+        err = (err + "; " if err else "") + f"prefill: {exc}"
+
+    extra = {}
+    if img_s is not None:
+        extra["vit_perceiver_prefill_img_per_s"] = round(img_s, 2)
+        extra["prefill_vs_target"] = round(img_s / PREFILL_TARGET, 4)
+    if err:
+        extra["error"] = err[:300]
+
+    if tok_s is not None:
+        print(json.dumps({
+            "metric": "llama2_7b_decode_int8_single_chip",
+            "value": round(tok_s, 2),
+            "unit": "tok/s/seq",
+            "vs_baseline": round(tok_s / DECODE_TARGET, 4),
+            "extra": extra,
+        }))
+    else:
+        print(json.dumps({
+            "metric": "vit_perceiver_prefill_throughput",
+            "value": round(img_s or 0.0, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round((img_s or 0.0) / PREFILL_TARGET, 4),
+            "extra": extra,
+        }))
 
 
 if __name__ == "__main__":

@@ -100,21 +100,23 @@ class ServingFrontend:
             except queue.Empty:
                 pass
             if pending:
-                n = self.sched.admit(pending)
-                pending = pending[n:]
+                admitted = pending[:self.sched.admit(pending)]
+                pending = pending[len(admitted):]
+                self._inflight = getattr(self, "_inflight", []) + admitted
             if self.sched.active.any():
                 self.sched.step()
-                # signal any finished requests
-                for uid, ev in list(self._events.items()):
-                    if ev.is_set():
-                        continue
-                # completion is detected via Request.done by the handler;
-                # wake all waiters cheaply
-                for ev in self._events.values():
-                    ev.set()
-                    ev.clear()
             else:
                 self._stop.wait(self._poll)
+            # signal finished requests (event set once, permanently)
+            still = []
+            for req in getattr(self, "_inflight", []):
+                if req.done:
+                    ev = self._events.get(req.uid)
+                    if ev is not None:
+                        ev.set()
+                else:
+                    still.append(req)
+            self._inflight = still
 
     def generate_blocking(self, prompt: str, image: Optional[np.ndarray],
                           max_new_tokens: int, timeout: float = 300.0):
