@@ -112,7 +112,7 @@ def bench_prefill():
     vp = cast(init_vit_params(k1, vit_cfg))
     pp = cast(init_perceiver_params(k2, pool_cfg))
 
-    batch = 64
+    batch = 32  # measured best throughput point on v5e
     images = jnp.asarray(np.random.default_rng(0).integers(
         0, 255, (batch, 224, 224, 3), dtype=np.uint8))
 
@@ -122,13 +122,22 @@ def bench_prefill():
         return jnp.sum(perceiver_resample(pp, feats, pool_cfg,
                                           compute_dtype=jnp.bfloat16))
 
-    float(prefill(vp, pp, images))
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters - 1):
-        prefill(vp, pp, images)
-    float(prefill(vp, pp, images))
-    return batch * iters / (time.perf_counter() - t0)
+    def measure(vparams, pparams, iters=10):
+        float(prefill(vparams, pparams, images))
+        t0 = time.perf_counter()
+        for _ in range(iters - 1):
+            prefill(vparams, pparams, images)
+        float(prefill(vparams, pparams, images))
+        return batch * iters / (time.perf_counter() - t0)
+
+    bf16 = measure(vp, pp)
+
+    from lhrs_bot_tpu.ops.quant import quantize_vision_layers
+
+    vq = {**vp, "layers": quantize_vision_layers(vp["layers"])}
+    pq = {**pp, "layers": quantize_vision_layers(pp["layers"])}
+    w8a8 = measure(vq, pq)
+    return bf16, w8a8
 
 
 def main():
@@ -139,8 +148,9 @@ def main():
         tok_s = bench_decode()
     except Exception as exc:  # noqa: BLE001
         err = f"decode: {exc}"
+    img_w8a8 = None
     try:
-        img_s = bench_prefill()
+        img_s, img_w8a8 = bench_prefill()
     except Exception as exc:  # noqa: BLE001
         err = (err + "; " if err else "") + f"prefill: {exc}"
 
@@ -148,6 +158,8 @@ def main():
     if img_s is not None:
         extra["vit_perceiver_prefill_img_per_s"] = round(img_s, 2)
         extra["prefill_vs_target"] = round(img_s / PREFILL_TARGET, 4)
+    if img_w8a8 is not None:
+        extra["prefill_w8a8_img_per_s"] = round(img_w8a8, 2)
     if err:
         extra["error"] = err[:300]
 
