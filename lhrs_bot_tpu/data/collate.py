@@ -34,6 +34,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _stack_images(instances) -> "np.ndarray | None":
+    """Stack per-sample images; text-only rows in a mixed batch (stage-3
+    weighted mixing adds text-only geosignal records) get zero images —
+    their prompts carry no image token, so the splice never reads them."""
+    imgs = [inst.get("image") for inst in instances]
+    present = [im for im in imgs if im is not None]
+    if not present:
+        return None
+    shape = np.asarray(present[0]).shape
+    return np.stack([
+        np.asarray(im) if im is not None else np.zeros(shape, np.uint8)
+        for im in imgs
+    ])
+
+
 def _check_single_image(rows) -> None:
     """The static-shape splice supports at most one image token per sample
     (the trained configuration; reference datasets guarantee this too,
@@ -80,9 +95,9 @@ class SupervisedCollator:
             "labels": labels_arr.astype(np.int32),
             "attention_mask": input_ids != pad_id,
         }
-        if "image" in instances[0] and instances[0]["image"] is not None:
-            batch["images"] = np.stack(
-                [np.asarray(inst["image"]) for inst in instances])
+        images = _stack_images(instances)
+        if images is not None:
+            batch["images"] = images
         return batch
 
 
@@ -114,9 +129,9 @@ class GenerationCollator:
             "seq_lens": np.asarray([min(len(x), width) for x in ids],
                                    np.int32),
         }
-        if "image" in instances[0] and instances[0]["image"] is not None:
-            batch["images"] = np.stack(
-                [np.asarray(inst["image"]) for inst in instances])
+        images = _stack_images(instances)
+        if images is not None:
+            batch["images"] = images
         for key in self.extra_keys:
             if key in instances[0]:
                 vals = [inst[key] for inst in instances]

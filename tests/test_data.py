@@ -185,3 +185,19 @@ class TestMultiImageGuard:
         coll = SupervisedCollator(tok)
         with pytest.raises(ValueError, match="image tokens"):
             coll(items)
+
+
+class TestMixedBatch:
+    def test_text_only_rows_get_zero_images(self, tok):
+        items = [
+            {"input_ids": np.asarray([1, IMAGE_TOKEN_INDEX, 5]),
+             "labels": np.asarray([1, IMAGE_TOKEN_INDEX, 5]),
+             "image": np.full((28, 28, 3), 9, np.uint8)},
+            {"input_ids": np.asarray([1, 6, 7]),
+             "labels": np.asarray([1, 6, 7])},  # text-only (stage-3 mixing)
+        ]
+        coll = SupervisedCollator(tok, pad_multiple=8)
+        batch = coll(items)
+        assert batch["images"].shape == (2, 28, 28, 3)
+        assert batch["images"][0].max() == 9
+        assert batch["images"][1].max() == 0
