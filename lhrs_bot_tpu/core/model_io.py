@@ -116,6 +116,34 @@ def load_pretrained(
     return params
 
 
+def save_orbax_params(path: str, params: Dict) -> str:
+    """One-time conversion target: orbax pytree checkpoint of the full VLM
+    params (fast parallel load at serving startup; see
+    tools/convert_checkpoint.py)."""
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    host = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    ocp.PyTreeCheckpointer().save(os.path.abspath(path), host)
+    return path
+
+
+def load_orbax_params(path: str, cfg: VLMConfig, *,
+                      rng: Optional[jax.Array] = None) -> Dict:
+    """Restore params written by save_orbax_params (structure template from
+    a fresh init so dtypes/treedef match)."""
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    template = init_vlm_params(rng, cfg)
+    host_template = jax.tree_util.tree_map(lambda x: np.asarray(x), template)
+    restored = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(path), item=host_template)
+    return jax.tree_util.tree_map(
+        lambda a, ref: jnp.asarray(a, ref.dtype), restored, template)
+
+
 def save_final(output_dir: str, params: Dict, cfg: VLMConfig,
                filename: str = "FINAL.pt") -> str:
     """custom_save_checkpoint parity: FINAL.pt + TextLoRA/ (when present)."""

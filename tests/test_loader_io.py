@@ -285,3 +285,20 @@ class TestVocabResizeTolerance:
             np.asarray(loaded["llama"]["embed_tokens"])[:cfg.llama.vocab_size],
             ckpt["other_ckpt"]["embed_tokens.weight"].numpy(),
             rtol=1e-5, atol=1e-6)
+
+
+class TestOrbaxRoundtrip:
+    def test_save_load_orbax(self, tmp_path):
+        import jax
+
+        from lhrs_bot_tpu.core.model_io import (
+            load_orbax_params, save_orbax_params)
+        from lhrs_bot_tpu.models import VLMConfig, init_vlm_params
+
+        cfg = VLMConfig.tiny_test(stage=1)
+        params = init_vlm_params(jax.random.PRNGKey(7), cfg)
+        save_orbax_params(str(tmp_path / "orbax"), params)
+        back = load_orbax_params(str(tmp_path / "orbax"), cfg)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
