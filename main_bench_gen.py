@@ -76,6 +76,13 @@ def main():
         if (start // bs) % 10 == 0:
             logger.info("eval %d/%d", start + len(items), len(indices))
 
+    from lhrs_bot_tpu.parallel.distribute import all_gather_object
+
+    gathered = all_gather_object(records)
+    if config.rank != 0:
+        return None
+    records = [r for shard in gathered for r in shard]
+
     total, per_type = bench_accuracy(records)
     id_to_type = dataset.id_to_type
     for qtype, score in sorted(per_type.items()):

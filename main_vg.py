@@ -55,6 +55,15 @@ def main():
         if (start // bs) % 10 == 0:
             logger.info("eval %d/%d", start + len(items), len(indices))
 
+    # merge per-rank shards before scoring (main_vqa-style protocol)
+    from lhrs_bot_tpu.parallel.distribute import all_gather_object
+
+    gathered = all_gather_object({"preds": preds, "targets": targets})
+    if config.rank != 0:
+        return None
+    preds = [p for shard in gathered for p in shard["preds"]]
+    targets = [t for shard in gathered for t in shard["targets"]]
+
     res = grounding_accuracy(preds, targets)
     logger.info("IoU@0.5 accuracy (parsed preds): %.4f",
                 res["accuracy_parsed"])
