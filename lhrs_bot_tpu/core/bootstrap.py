@@ -71,6 +71,9 @@ def setup(config, name: str = "lhrs_tpu"):
     logger = setup_logger(name, output=config.output, rank=config.rank)
     set_random_seed(int(config.seed), int(config.rank))
     os.makedirs(config.output, exist_ok=True)
+    from ..utils.misc import collect_env
+
+    logger.info("environment:\n%s", collect_env())
     if config.rank == 0:
         with open(os.path.join(config.output, "config.json"), "w") as fh:
             fh.write(config.to_json(indent=2, default=str))

@@ -201,3 +201,54 @@ class TestMixedBatch:
         assert batch["images"].shape == (2, 28, 28, 3)
         assert batch["images"][0].max() == 9
         assert batch["images"][1].max() == 0
+
+
+class TestPreprocessV1:
+    def test_v1_masks_instruction_keeps_answer(self, tok):
+        conv_lib.set_default_conversation("llava_v1")
+        from lhrs_bot_tpu.data.preprocess import preprocess_v1
+
+        sources = [{"Question": "<image>\nwhat is shown",
+                    "Answer": "open farmland"}]
+        out = preprocess_v1(sources, tok, has_image=True)
+        ids, labels = out["input_ids"][0], out["labels"][0]
+        assert ids[0] == tok.bos_token_id
+        vis = labels[labels != IGNORE_INDEX]
+        for a in tok("open farmland").input_ids[1:]:
+            assert a in vis
+        assert tok("shown").input_ids[1] not in vis
+        conv_lib.set_default_conversation("llava_llama_2")
+
+
+class TestWeightedLoaderFactory:
+    def test_stage3_weight_sample_routing(self, tok, tmp_path):
+        import json
+
+        from PIL import Image
+
+        from lhrs_bot_tpu.core.config import ConfigDict
+        from lhrs_bot_tpu.data.build_loader import build_loader
+        from lhrs_bot_tpu.data.loader import WeightedShardedSampler
+
+        img_dir = tmp_path / "osm_data_Image"
+        img_dir.mkdir()
+        recs = []
+        for i in range(4):
+            Image.fromarray(np.zeros((30, 30, 3), np.uint8)).save(
+                str(img_dir / f"i{i}.jpg"))
+            recs.append({"image": f"i{i}.jpg", "conversations": [
+                {"from": "human", "value": "<image>\nq"},
+                {"from": "gpt", "value": "a"}]})
+        json.dump(recs, open(str(tmp_path / "osm_data.json"), "w"))
+
+        cfg = ConfigDict({
+            "stage": 3, "weight_sample": True,
+            "prompt_template": "llava_llama_2",
+            "data_path": str(tmp_path), "batch_size": 2, "seed": 0,
+            "rgb_vision": {"input_size": [28, 28]},
+        })
+        loader = build_loader(cfg, tok, mode="pretrain")
+        assert isinstance(loader.sampler, WeightedShardedSampler)
+        batch = next(iter(loader))
+        assert batch["input_ids"].shape[0] == 2
+        assert (batch["labels"] != IGNORE_INDEX).any()
