@@ -260,11 +260,17 @@ def load_final_pt(path: str, vit_cfg: ViTConfig,
                   pooler_cfg: PerceiverConfig) -> Dict[str, Dict]:
     """FINAL.pt → {"vit": ..., "pooler": ..., "extra": {...}}.
 
-    rgb_ckpt holds the (possibly fine-tuned) CLIP tower; other_ckpt holds
-    rgb_pooler.* plus any tuned embed_tokens/lm_head rows."""
+    rgb_ckpt holds the (possibly fine-tuned) CLIP tower. The reference's
+    other_ckpt is NESTED — get_other_maybe_zero_3 (UniBind.py:275-294) writes
+    {"rgb_pooler": {...}, "text_proj": {}, "embed_tokens": {...},
+    "lm_head": {}} with the group prefix stripped from sub-keys. A flat
+    layout ("rgb_pooler.<param>" keys) is also accepted for artifacts
+    written by older exports of this framework."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if "model" in ckpt and "rgb_ckpt" not in ckpt:
+        ckpt = ckpt["model"]  # custom_load_state_dict parity (UniBind.py:90-92)
     rgb_sd = ckpt.get("rgb_ckpt", {})
     other_sd = ckpt.get("other_ckpt", {})
 
@@ -273,14 +279,28 @@ def load_final_pt(path: str, vit_cfg: ViTConfig,
         rgb_sd = {k.replace("encoder.", "", 1) if k.startswith("encoder.")
                   else k: v for k, v in rgb_sd.items()}
         out["vit"] = vit_params_from_hf_state_dict(rgb_sd, vit_cfg)
-    pooler_sd = {k[len("rgb_pooler."):]: v for k, v in other_sd.items()
-                 if k.startswith("rgb_pooler.")}
+
+    if isinstance(other_sd.get("rgb_pooler"), dict):
+        # nested reference layout
+        pooler_sd = other_sd["rgb_pooler"]
+        extra_src: Dict[str, Any] = {}
+        for group in ("embed_tokens", "lm_head"):
+            sub = other_sd.get(group)
+            if isinstance(sub, dict):
+                extra_src.update(
+                    {f"{group}.{k}": v for k, v in sub.items()})
+    else:
+        # flat layout
+        pooler_sd = {k[len("rgb_pooler."):]: v for k, v in other_sd.items()
+                     if k.startswith("rgb_pooler.")}
+        extra_src = {k: v for k, v in other_sd.items()
+                     if not k.startswith("rgb_pooler.")
+                     and ("embed_tokens" in k or "lm_head" in k)}
     if pooler_sd:
         out["pooler"] = pooler_params_from_torch_state_dict(
             pooler_sd, pooler_cfg)
-    for key in ("embed_tokens", "lm_head"):
-        matches = {k: _np(v) for k, v in other_sd.items() if key in k}
-        out["extra"].update(matches)
+    out["extra"] = {k: _np(v) for k, v in extra_src.items()
+                    if hasattr(v, "detach")}
     return out
 
 
@@ -380,40 +400,50 @@ def export_final_pt(path: str, params: Dict, vit_cfg: ViTConfig,
         rgb_sd[pref + "mlp.fc2.weight"] = t(np.asarray(lyr["w_proj"][i]).T)
         rgb_sd[pref + "mlp.fc2.bias"] = t(lyr["b_proj"][i])
 
+    # other_ckpt uses the reference's NESTED layout (UniBind.py:275-294):
+    # group dicts keyed rgb_pooler/text_proj/embed_tokens/lm_head, with the
+    # group prefix stripped from sub-keys.
     pool = params["pooler"]
     pl = pool["layers"]
     h = pooler_cfg.hidden_size
-    other_sd = {"rgb_pooler.query": t(np.asarray(pool["query"])[None])}
+    pool_sd = {"query": t(np.asarray(pool["query"])[None])}
     for i in range(pooler_cfg.num_layers):
-        pref = f"rgb_pooler.layers.{i}."
+        pref = f"layers.{i}."
         in_w = np.concatenate(
             [np.asarray(pl["wq"][i]).T, np.asarray(pl["wk"][i]).T,
              np.asarray(pl["wv"][i]).T], axis=0)
         in_b = np.concatenate(
             [np.asarray(pl["bq"][i]), np.asarray(pl["bk"][i]),
              np.asarray(pl["bv"][i])], axis=0)
-        other_sd[pref + "attn.in_proj_weight"] = t(in_w)
-        other_sd[pref + "attn.in_proj_bias"] = t(in_b)
-        other_sd[pref + "attn.out_proj.weight"] = t(np.asarray(pl["wo"][i]).T)
-        other_sd[pref + "attn.out_proj.bias"] = t(pl["bo"][i])
-        other_sd[pref + "ln_1.weight"] = t(pl["ln1_scale"][i])
-        other_sd[pref + "ln_1.bias"] = t(pl["ln1_bias"][i])
-        other_sd[pref + "ln_1_kv.weight"] = t(pl["ln_kv_scale"][i])
-        other_sd[pref + "ln_1_kv.bias"] = t(pl["ln_kv_bias"][i])
-        other_sd[pref + "ln_2.weight"] = t(pl["ln2_scale"][i])
-        other_sd[pref + "ln_2.bias"] = t(pl["ln2_bias"][i])
-        other_sd[pref + "mlp.c_fc.weight"] = t(np.asarray(pl["w_fc"][i]).T)
-        other_sd[pref + "mlp.c_fc.bias"] = t(pl["b_fc"][i])
-        other_sd[pref + "mlp.c_proj.weight"] = t(np.asarray(pl["w_proj"][i]).T)
-        other_sd[pref + "mlp.c_proj.bias"] = t(pl["b_proj"][i])
-    other_sd["rgb_pooler.out_proj.weight"] = t(np.asarray(pool["out_proj_w"]).T)
-    other_sd["rgb_pooler.out_proj.bias"] = t(pool["out_proj_b"])
+        pool_sd[pref + "attn.in_proj_weight"] = t(in_w)
+        pool_sd[pref + "attn.in_proj_bias"] = t(in_b)
+        pool_sd[pref + "attn.out_proj.weight"] = t(np.asarray(pl["wo"][i]).T)
+        pool_sd[pref + "attn.out_proj.bias"] = t(pl["bo"][i])
+        pool_sd[pref + "ln_1.weight"] = t(pl["ln1_scale"][i])
+        pool_sd[pref + "ln_1.bias"] = t(pl["ln1_bias"][i])
+        pool_sd[pref + "ln_1_kv.weight"] = t(pl["ln_kv_scale"][i])
+        pool_sd[pref + "ln_1_kv.bias"] = t(pl["ln_kv_bias"][i])
+        pool_sd[pref + "ln_2.weight"] = t(pl["ln2_scale"][i])
+        pool_sd[pref + "ln_2.bias"] = t(pl["ln2_bias"][i])
+        pool_sd[pref + "mlp.c_fc.weight"] = t(np.asarray(pl["w_fc"][i]).T)
+        pool_sd[pref + "mlp.c_fc.bias"] = t(pl["b_fc"][i])
+        pool_sd[pref + "mlp.c_proj.weight"] = t(np.asarray(pl["w_proj"][i]).T)
+        pool_sd[pref + "mlp.c_proj.bias"] = t(pl["b_proj"][i])
+    pool_sd["out_proj.weight"] = t(np.asarray(pool["out_proj_w"]).T)
+    pool_sd["out_proj.bias"] = t(pool["out_proj_b"])
     if "in_proj_w" in pool:
-        other_sd["rgb_pooler.in_proj.weight"] = t(np.asarray(pool["in_proj_w"]).T)
-        other_sd["rgb_pooler.in_proj.bias"] = t(pool["in_proj_b"])
+        pool_sd["in_proj.weight"] = t(np.asarray(pool["in_proj_w"]).T)
+        pool_sd["in_proj.bias"] = t(pool["in_proj_b"])
 
-    import torch
-
+    extra = params.get("extra", {})
+    other_sd = {
+        "rgb_pooler": pool_sd,
+        "text_proj": {},
+        "embed_tokens": {k.split("embed_tokens.")[-1]: t(v)
+                         for k, v in extra.items() if "embed_tokens" in k},
+        "lm_head": {k.split("lm_head.")[-1]: t(v)
+                    for k, v in extra.items() if "lm_head" in k},
+    }
     torch.save({"rgb_ckpt": rgb_sd, "other_ckpt": other_sd}, path)
 
 

@@ -49,7 +49,9 @@ CAPTION_QA_TEMPLATES = [
     "Summarize the visual content of the image.",
     "Give a short and clear explanation of the subsequent image.",
     "Share a concise interpretation of the image provided.",
-    "Present a compact description of the photo's key features.",
+    # NB: Unicode apostrophe, faithful to cap_dataset.py:337 ("photo’s") —
+    # the ASCII variant tokenizes differently.
+    "Present a compact description of the photo’s key features.",
     "Relay a brief, clear account of the picture shown.",
     "Render a clear and concise summary of the photo.",
     "Write a terse but informative summary of the picture.",
@@ -183,6 +185,17 @@ class InstructDataset:
         for jpath, iroot in zip(jsons, image_roots):
             with open(jpath) as fh:
                 data = json.load(fh)
+            # drop records whose image file is missing at build time
+            # (valid_path parity, cap_dataset.py:44-49) — a missing file must
+            # be a skipped record, not a mid-epoch crash
+            n_before = len(data)
+            data = [item for item in data
+                    if "image" not in item
+                    or os.path.exists(os.path.join(iroot, item["image"]))]
+            if len(data) != n_before:
+                logger.warning("InstructDataset: dropped %d record(s) with "
+                               "missing images from %s",
+                               n_before - len(data), jpath)
             for item in data:
                 item["_img_dir"] = iroot
                 self.records.append(item)

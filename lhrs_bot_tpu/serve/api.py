@@ -64,6 +64,22 @@ class ServingFrontend:
                       max_new_tokens: int) -> Request:
         conv = conv_lib.conv_templates[self.prompt_template].copy()
         text = prompt
+        # single-image invariant: the splice expands exactly one -200 token;
+        # extra occurrences would silently embed as token id 0, and a text-only
+        # request must carry none at all.
+        n_img = text.count(DEFAULT_IMAGE_TOKEN)
+        if image is None:
+            if n_img:
+                logger.warning("request has no image — stripping %d '%s' "
+                               "token(s) from the prompt",
+                               n_img, DEFAULT_IMAGE_TOKEN)
+                text = text.replace(DEFAULT_IMAGE_TOKEN, "").strip()
+        elif n_img > 1:
+            logger.warning("prompt contains %d image tokens — keeping the "
+                           "first only", n_img)
+            first, rest = text.split(DEFAULT_IMAGE_TOKEN, 1)
+            text = (first + DEFAULT_IMAGE_TOKEN
+                    + rest.replace(DEFAULT_IMAGE_TOKEN, "")).strip()
         if image is not None and DEFAULT_IMAGE_TOKEN not in text:
             text = DEFAULT_IMAGE_TOKEN + "\n" + text
         conv.append_message(conv.roles[0], text)
@@ -92,6 +108,7 @@ class ServingFrontend:
 
     def _run(self) -> None:
         pending = []
+        self._inflight = []
         while not self._stop.is_set():
             # drain queue
             try:
@@ -99,17 +116,31 @@ class ServingFrontend:
                     pending.append(self._queue.get_nowait())
             except queue.Empty:
                 pass
-            if pending:
-                admitted = pending[:self.sched.admit(pending)]
-                pending = pending[len(admitted):]
-                self._inflight = getattr(self, "_inflight", []) + admitted
-            if self.sched.active.any():
-                self.sched.step()
-            else:
-                self._stop.wait(self._poll)
+            try:
+                if pending:
+                    admitted = pending[:self.sched.admit(pending)]
+                    pending = pending[len(admitted):]
+                    self._inflight = self._inflight + admitted
+                if self.sched.active.any():
+                    self.sched.step()
+                else:
+                    self._stop.wait(self._poll)
+            except Exception as exc:  # noqa: BLE001 — worker must survive
+                logger.exception("scheduler worker error — failing %d "
+                                 "in-flight request(s), loop continues",
+                                 len(self._inflight) + len(pending))
+                for req in self._inflight + pending:
+                    req.error = str(exc)
+                    req.done = True
+                pending = []
+                # free any slots the failed batch occupied
+                for slot, req in enumerate(self.sched.slot_req):
+                    if req is not None:
+                        self.sched.slot_req[slot] = None
+                self.sched.active[:] = False
             # signal finished requests (event set once, permanently)
             still = []
-            for req in getattr(self, "_inflight", []):
+            for req in self._inflight:
                 if req.done:
                     ev = self._events.get(req.uid)
                     if ev is not None:
@@ -131,8 +162,17 @@ class ServingFrontend:
         self._events.pop(req.uid, None)
         text = self.tokenizer.decode(req.output_ids,
                                      skip_special_tokens=True)
-        return {"text": text, "tokens": req.output_ids,
-                "finish_reason": "stop" if req.done else "timeout"}
+        if req.error is not None:
+            reason = "error"
+        elif req.done:
+            reason = "stop"
+        else:
+            reason = "timeout"
+        out = {"text": text, "tokens": req.output_ids,
+               "finish_reason": reason}
+        if req.error is not None:
+            out["error"] = req.error
+        return out
 
 
 def make_handler(frontend: ServingFrontend):

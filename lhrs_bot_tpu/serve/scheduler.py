@@ -42,6 +42,7 @@ class Request:
     # filled by the scheduler:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    error: Optional[str] = None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -150,17 +151,26 @@ class ContinuousBatchingScheduler:
             return 0
         slots = free[:len(batch)]
 
-        t = max(len(r.input_ids) for r in batch)
-        width = min(_round_up(t, self.prompt_bucket), self.max_seq_len)
-        if t > width:
-            import logging
+        import logging
 
-            logging.getLogger("lhrs_tpu").warning(
-                "prompt length %d exceeds max_seq_len %d — truncating",
-                t, self.max_seq_len)
+        log = logging.getLogger("lhrs_tpu")
+        t = max(len(r.input_ids) for r in batch)
+        has_image = any(r.image is not None for r in batch)
+        # an image expands the spliced prefill by num_query-1 tokens
+        # (the -200 placeholder becomes num_query pooled embeddings), so the
+        # prompt budget must leave room for the expansion in the cache
+        nq = self.cfg.pooler.num_query
+        width_cap = (self.max_seq_len - nq + 1 if has_image
+                     else self.max_seq_len)
+        width = min(_round_up(t, self.prompt_bucket), width_cap)
+        if t > width:
+            log.warning(
+                "prompt length %d exceeds admissible width %d "
+                "(max_seq_len=%d%s) — truncating",
+                t, width, self.max_seq_len,
+                f", image expansion {nq - 1}" if has_image else "")
         ids = np.full((self.max_batch, width), self.pad, np.int32)
         lens = np.zeros(self.max_batch, np.int32)
-        has_image = any(r.image is not None for r in batch)
         imgs = None
         if has_image:
             h = self.cfg.vit.image_size
@@ -183,7 +193,18 @@ class ContinuousBatchingScheduler:
 
         for slot, req in zip(slots, batch):
             self.slot_req[slot] = req
-            self.slot_budget[slot] = req.max_new_tokens
+            # clamp the generation budget to the cache room left after the
+            # spliced prompt — silently-dropped KV writes corrupt output
+            spliced = int(lens[slot])
+            if req.image is not None and np.any(ids[slot, :spliced] < 0):
+                spliced += nq - 1
+            room = max(1, self.max_seq_len - spliced)
+            if req.max_new_tokens > room:
+                log.warning(
+                    "request %d: max_new_tokens %d exceeds cache room %d "
+                    "after a %d-token spliced prompt — clamping",
+                    req.uid, req.max_new_tokens, room, spliced)
+            self.slot_budget[slot] = min(req.max_new_tokens, room)
             tok = int(first_host[slot])
             self.active[slot] = True
             self._push_token(slot, tok)

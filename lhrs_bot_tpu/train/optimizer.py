@@ -86,19 +86,26 @@ def adan(
             return (m_ / bc1 + (1 - b2) * v_ / bc2) / denom
 
         updates = jax.tree_util.tree_map(direction, m, v, n)
-        if weight_decay:
-            mask_tree = mask(params) if callable(mask) else mask
-            wd_tree = (
-                jax.tree_util.tree_map(
-                    lambda use, p: weight_decay * p if use else 0.0 * p,
-                    mask_tree, params)
-                if mask_tree is not None else
-                jax.tree_util.tree_map(lambda p: weight_decay * p, params)
-            )
-            updates = jax.tree_util.tree_map(jnp.add, updates, wd_tree)
-
         lr = learning_rate(count) if callable(learning_rate) else learning_rate
-        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        mask_tree = mask(params) if callable(mask) else mask
+        if mask_tree is None and params is not None:
+            mask_tree = jax.tree_util.tree_map(lambda _: True, params)
+
+        if no_prox or not weight_decay:
+            # "adanp" (timm variant): decoupled decay p ← p·(1 − lr·wd) − lr·d
+            if weight_decay:
+                updates = jax.tree_util.tree_map(
+                    lambda use, u, p: u + weight_decay * p if use else u,
+                    mask_tree, updates, params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        else:
+            # proximal Adan (arXiv:2208.06677 Alg.1): p ← (p − lr·d)/(1+lr·wd)
+            # expressed as a delta: −(lr·d + lr·wd·p)/(1 + lr·wd)
+            def prox(use, u, p):
+                wd = weight_decay if use else 0.0
+                return -(lr * u + lr * wd * p) / (1.0 + lr * wd)
+
+            updates = jax.tree_util.tree_map(prox, mask_tree, updates, params)
         return updates, AdanState(count, m, v, n, grads)
 
     return optax.GradientTransformation(init_fn, update_fn)

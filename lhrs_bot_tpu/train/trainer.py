@@ -146,6 +146,7 @@ class Trainer:
         self.cur_iter = 0
         self.start_iter = 0
         self.metric_storage = MetricStorage()
+        self._pending_metrics = None
 
         self._opt_shardings = None
         if mesh is not None:
@@ -233,11 +234,26 @@ class Trainer:
 
         self.params, self.opt_state, metrics = self._step_fn(
             self.params, self.opt_state, batch)
-        host_metrics = {k: float(v) for k, v in metrics.items()}
+        # one-step-late async fetch: dispatch step N, then fetch step N-1's
+        # metrics — that host transfer overlaps with step N's device compute
+        # instead of serializing every step on a blocking float().
+        self._flush_metrics()
+        self._pending_metrics = (self.cur_iter, metrics, data_time, start)
 
-        iter_time = time.perf_counter() - start
-        self.metric_storage.update(self.cur_iter, **host_metrics)
-        self.metric_storage.update(self.cur_iter, data_time=data_time,
+    def _flush_metrics(self) -> None:
+        """Fetch the previous step's device metrics to the host (blocks only
+        until THAT step finished, which has already been hidden behind the
+        current step's dispatch). iter_time is the wall clock from the
+        previous step's start to this flush — the steady-state per-iteration
+        time including data loading."""
+        if self._pending_metrics is None:
+            return
+        it, metrics, data_time, start_t = self._pending_metrics
+        self._pending_metrics = None
+        host_metrics = {k: float(v) for k, v in metrics.items()}
+        iter_time = time.perf_counter() - start_t
+        self.metric_storage.update(it, **host_metrics)
+        self.metric_storage.update(it, data_time=data_time,
                                    iter_time=iter_time)
 
     def train(self, resume: bool = False) -> None:
@@ -256,6 +272,7 @@ class Trainer:
             self.train_on_iter()
             self._dispatch("after_iter")
             self.cur_iter += 1
+        self._flush_metrics()
         self._dispatch("after_epoch")
         self._dispatch("after_train")
 
@@ -263,6 +280,7 @@ class Trainer:
 
     def save(self, tag: Optional[str] = None,
              max_to_keep: Optional[int] = None) -> str:
+        self._flush_metrics()  # checkpointed metric storage must be current
         client_state = {
             "cur_iter": self.cur_iter,
             "world_size": jax.process_count(),

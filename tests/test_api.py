@@ -51,6 +51,54 @@ def _post(url, payload):
         return e.code, json.loads(e.read())
 
 
+class TestFrontendRobustness:
+    class _FlakySched:
+        """Duck-typed scheduler: first admit raises, later ones succeed."""
+
+        def __init__(self):
+            self.active = np.zeros(2, bool)
+            self.slot_req = [None, None]
+            self.calls = 0
+
+        def admit(self, reqs):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("boom")
+            for r in reqs:
+                r.output_ids = [5]
+                r.done = True
+            return len(reqs)
+
+        def step(self):
+            return 0
+
+    def test_worker_survives_scheduler_error(self):
+        sched = self._FlakySched()
+        frontend = ServingFrontend(sched, FakeTokenizer(), image_size=28)
+        try:
+            first = frontend.generate_blocking("a", None, 4, timeout=30)
+            assert first["finish_reason"] == "error"
+            assert "boom" in first["error"]
+            # the worker loop must still be alive and serve the next request
+            second = frontend.generate_blocking("b", None, 4, timeout=30)
+            assert second["finish_reason"] == "stop"
+        finally:
+            frontend.shutdown()
+
+    def test_build_request_single_image_invariant(self):
+        sched = self._FlakySched()
+        frontend = ServingFrontend(sched, FakeTokenizer(), image_size=28)
+        try:
+            img = np.zeros((28, 28, 3), np.uint8)
+            req = frontend.build_request(
+                "<image> a <image> b <image>", img, 4)
+            assert int((req.input_ids < 0).sum()) == 1
+            req2 = frontend.build_request("<image> hello <image>", None, 4)
+            assert int((req2.input_ids < 0).sum()) == 0
+        finally:
+            frontend.shutdown()
+
+
 class TestServingAPI:
     def test_health(self, server):
         with urllib.request.urlopen(server + "/health", timeout=30) as resp:

@@ -163,6 +163,78 @@ class TestPoolerInterop:
                                            rtol=1e-5, atol=1e-6)
 
 
+class TestFinalPtFormats:
+    """Fuzz load_final_pt against the GENUINE reference artifact layout:
+    other_ckpt is nested {rgb_pooler: {...}, text_proj: {}, embed_tokens:
+    {...}, lm_head: {}} per get_other_maybe_zero_3 (UniBind.py:275-294),
+    possibly wrapped in a {"model": ...} envelope (UniBind.py:90-92)."""
+
+    def _nested_ckpt(self, tmp_path, wrap_model=False, extra_keys=False,
+                     with_embed=False):
+        cfg = PerceiverConfig.tiny_test()
+        vit_cfg = ViTConfig.tiny_test()
+        from lhrs_bot_tpu.models.vit import init_vit_params
+
+        full = {"vit": init_vit_params(jax.random.PRNGKey(1), vit_cfg),
+                "pooler": init_perceiver_params(jax.random.PRNGKey(0), cfg)}
+        path = str(tmp_path / "FINAL.pt")
+        ti.export_final_pt(path, full, vit_cfg, cfg)
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        assert isinstance(ckpt["other_ckpt"]["rgb_pooler"], dict)
+        assert set(ckpt["other_ckpt"]) == {
+            "rgb_pooler", "text_proj", "embed_tokens", "lm_head"}
+        if with_embed:
+            ckpt["other_ckpt"]["embed_tokens"] = {
+                "weight": torch.randn(32, 8)}
+        if extra_keys:
+            # keys a real fp32 consolidation can carry that we don't model
+            ckpt["other_ckpt"]["rgb_pooler"]["rotary_emb.inv_freq"] = (
+                torch.randn(4))
+            ckpt["rgb_ckpt"]["vision_model.embeddings.position_ids"] = (
+                torch.arange(10)[None])
+        if wrap_model:
+            ckpt = {"model": ckpt}
+        torch.save(ckpt, path)
+        return path, full, cfg, vit_cfg
+
+    def test_nested_layout_loads_pooler(self, tmp_path):
+        path, full, cfg, vit_cfg = self._nested_ckpt(tmp_path)
+        back = ti.load_final_pt(path, vit_cfg, cfg)
+        np.testing.assert_allclose(
+            np.asarray(full["pooler"]["query"]),
+            np.asarray(back["pooler"]["query"]), rtol=1e-5, atol=1e-6)
+
+    def test_model_envelope_and_extra_keys(self, tmp_path):
+        path, full, cfg, vit_cfg = self._nested_ckpt(
+            tmp_path, wrap_model=True, extra_keys=True, with_embed=True)
+        back = ti.load_final_pt(path, vit_cfg, cfg)
+        np.testing.assert_allclose(
+            np.asarray(full["pooler"]["out_proj_w"]),
+            np.asarray(back["pooler"]["out_proj_w"]), rtol=1e-5, atol=1e-6)
+        assert back["extra"]["embed_tokens.weight"].shape == (32, 8)
+
+    def test_legacy_flat_layout_still_loads(self, tmp_path):
+        path, full, cfg, vit_cfg = self._nested_ckpt(tmp_path)
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        flat = {f"rgb_pooler.{k}": v
+                for k, v in ckpt["other_ckpt"]["rgb_pooler"].items()}
+        flat["model.embed_tokens.weight"] = torch.randn(32, 8)
+        torch.save({"rgb_ckpt": ckpt["rgb_ckpt"], "other_ckpt": flat}, path)
+        back = ti.load_final_pt(path, vit_cfg, cfg)
+        np.testing.assert_allclose(
+            np.asarray(full["pooler"]["query"]),
+            np.asarray(back["pooler"]["query"]), rtol=1e-5, atol=1e-6)
+        assert back["extra"]["model.embed_tokens.weight"].shape == (32, 8)
+
+    def test_missing_pooler_group_tolerated(self, tmp_path):
+        path, full, cfg, vit_cfg = self._nested_ckpt(tmp_path)
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        ckpt["other_ckpt"]["rgb_pooler"] = {}
+        torch.save(ckpt, path)
+        back = ti.load_final_pt(path, vit_cfg, cfg)
+        assert "pooler" not in back and "vit" in back
+
+
 class TestLoraInterop:
     def test_export_import_roundtrip(self, tmp_path):
         cfg = LlamaConfig.tiny_test()

@@ -272,8 +272,9 @@ class TestVocabResizeTolerance:
 
         ckpt = torch.load(str(tmp_path / "FINAL.pt"), map_location="cpu",
                           weights_only=False)
-        ckpt["other_ckpt"]["embed_tokens.weight"] = torch.randn(
-            cfg.llama.vocab_size, cfg.llama.hidden_size)
+        # nested reference layout (UniBind.py:275-294)
+        ckpt["other_ckpt"]["embed_tokens"] = {"weight": torch.randn(
+            cfg.llama.vocab_size, cfg.llama.hidden_size)}
         torch.save(ckpt, str(tmp_path / "FINAL.pt"))
 
         loaded = load_pretrained(big_cfg,
@@ -283,7 +284,7 @@ class TestVocabResizeTolerance:
         # the overlapping rows actually came from the checkpoint
         np.testing.assert_allclose(
             np.asarray(loaded["llama"]["embed_tokens"])[:cfg.llama.vocab_size],
-            ckpt["other_ckpt"]["embed_tokens.weight"].numpy(),
+            ckpt["other_ckpt"]["embed_tokens"]["weight"].numpy(),
             rtol=1e-5, atol=1e-6)
 
 

@@ -78,6 +78,40 @@ class TestScheduler:
         assert all(len(r.output_ids) >= 1 for r in reqs)
 
 
+class TestAdmissionLimits:
+    def test_long_image_prompt_admits_and_clamps(self, setup):
+        """A prompt near max_seq_len with an image must not overflow the
+        cache: width is capped by the num_query-1 splice expansion and the
+        generation budget is clamped to remaining cache room."""
+        cfg, params, engine, _ = setup
+        sched = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=2, max_seq_len=96,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+            eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16)
+        nq = cfg.pooler.num_query
+        ids = np.full((96,), 7, np.int32)  # == max_seq_len
+        ids[1] = IMAGE_TOKEN_INDEX
+        img = np.zeros((cfg.vit.image_size, cfg.vit.image_size, 3), np.uint8)
+        req = Request(uid=1, input_ids=ids, image=img, max_new_tokens=50)
+        sched.run([req])
+        assert req.done
+        # spliced length ≤ max_seq_len ⇒ budget was clamped, not corrupted
+        spliced = min(96, 96 - nq + 1) + nq - 1
+        assert len(req.output_ids) <= max(1, 96 - spliced) + 1
+
+    def test_text_budget_clamped_to_cache(self, setup):
+        cfg, params, engine, _ = setup
+        sched = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=2, max_seq_len=96,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+            eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16)
+        ids = np.full((90,), 7, np.int32)
+        req = Request(uid=2, input_ids=ids, max_new_tokens=1000)
+        sched.run([req])
+        assert req.done
+        assert len(req.output_ids) <= 96 - 90 + 1
+
+
 class TestSamplingScheduler:
     def test_sampled_generation_runs_and_varies(self, setup):
         cfg, params, engine, _ = setup

@@ -75,6 +75,139 @@ class TestSchedules:
         assert all(np.isfinite(v) and v >= 0 for v in vals)
 
 
+def _np_anneal_cos(start, end, factor):
+    return end + 0.5 * (start - end) * (1 + np.cos(np.pi * factor))
+
+
+class TestScheduleGolden:
+    """All 11 schedules vs direct numpy transcriptions of the reference
+    algorithms (lhrs/CustomTrainer/hook/lr_scheduler_hook.py:148-735)."""
+
+    def _curve(self, cfg_dict, total, n=None):
+        s = build_schedule(ConfigDict(cfg_dict), total_iters=total)
+        return np.array([float(s(i)) for i in range(n or total)])
+
+    def test_fixed(self):
+        got = self._curve({"lr": 0.3, "schedule": {"name": "fixed"}}, 10)
+        np.testing.assert_allclose(got, np.full(10, 0.3), rtol=1e-6)
+
+    def test_step(self):
+        got = self._curve({"lr": 1.0, "schedule": {
+            "name": "step", "multisteps": [3, 6], "gamma": 0.1}}, 9)
+        exp = np.array([1, 1, 1, .1, .1, .1, .01, .01, .01])
+        np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+    def test_exp(self):
+        got = self._curve({"lr": 2.0, "schedule": {
+            "name": "exp", "gamma": 0.5}}, 5)
+        np.testing.assert_allclose(got, 2.0 * 0.5 ** np.arange(5), rtol=1e-5)
+
+    def test_poly(self):
+        total, power = 10, 2.0
+        got = self._curve({"lr": 1.0, "schedule": {
+            "name": "poly", "power": power}}, total)
+        exp = (1 - np.arange(total) / total) ** power
+        np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+    def test_inv(self):
+        got = self._curve({"lr": 1.0, "schedule": {
+            "name": "inv", "gamma": 0.1, "power": 0.75}}, 8)
+        exp = (1 + 0.1 * np.arange(8)) ** -0.75
+        np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+    def test_cosine(self):
+        total, min_lr = 20, 0.1
+        got = self._curve({"lr": 1.0, "schedule": {
+            "name": "cosine", "min_lr": min_lr}}, total)
+        exp = _np_anneal_cos(1.0, min_lr, np.arange(total) / total)
+        np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+    def test_flat_cosine(self):
+        total = 20
+        got = self._curve({"lr": 1.0, "schedule": {
+            "name": "flat_cosine", "start_percent": 0.75}}, total)
+        flat_until = int(total * 0.75)
+        t = np.clip((np.arange(total) - flat_until) / (total - flat_until),
+                    0, 1)
+        exp = np.where(np.arange(total) < flat_until, 1.0,
+                       _np_anneal_cos(1.0, 0.0, t))
+        np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-7)
+
+    def test_linear(self):
+        total, min_lr = 10, 0.2
+        got = self._curve({"lr": 1.0, "schedule": {
+            "name": "linear", "min_lr": min_lr}}, total)
+        exp = 1.0 + (min_lr - 1.0) * np.arange(total) / total
+        np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+    def test_cosine_restart(self):
+        from lhrs_bot_tpu.train.schedule import cosine_restart
+
+        periods, weights = [4, 6], [1.0, 0.5]
+        s = cosine_restart(1.0, periods, weights, min_lr=0.0)
+        got = np.array([float(s(i)) for i in range(10)])
+        exp = np.concatenate([
+            _np_anneal_cos(1.0, 0.0, np.arange(4) / 4),
+            _np_anneal_cos(0.5, 0.0, np.arange(6) / 6)])
+        np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-7)
+
+    def test_cyclic_golden(self):
+        """Numpy transcription of CyclicLrUpdaterHook.get_lr
+        (lr_scheduler_hook.py:496-517)."""
+        base, total = 1.0, 40
+        tr, times, up_ratio, gamma = (5.0, 1e-3), 2, 0.4, 0.5
+        got = self._curve({"lr": base, "schedule": {
+            "name": "cyclic", "target_ratio": tr, "cyclic_times": times,
+            "step_ratio_up": up_ratio, "gamma": gamma}}, total)
+
+        max_phase = total // times
+        iter_up = int(up_ratio * max_phase)
+        exp = []
+        for it in range(total):
+            curr, cycle = it % max_phase, it // max_phase
+            scale = gamma ** cycle
+            if curr < iter_up:
+                end_ratio = 1 - scale + tr[0] * scale
+                lr = _np_anneal_cos(base, base * end_ratio, curr / iter_up)
+            else:
+                start_ratio = 1 - scale + tr[0] * scale
+                lr = _np_anneal_cos(base * start_ratio, base * tr[1],
+                                    (curr - iter_up) / (max_phase - iter_up))
+            exp.append(lr)
+        np.testing.assert_allclose(got, np.asarray(exp), rtol=1e-4,
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("three_phase", [False, True])
+    def test_one_cycle_golden(self, three_phase):
+        """Numpy transcription of OneCycleLrUpdaterHook
+        (lr_scheduler_hook.py:607-656)."""
+        max_lr, total, pct, div, fdiv = 1.0, 30, 0.3, 25.0, 100.0
+        got = self._curve({"lr": max_lr, "schedule": {
+            "name": "one_cycle", "max_lr": max_lr, "pct_start": pct,
+            "div_factor": div, "final_div_factor": fdiv,
+            "three_phase": three_phase}}, total)
+
+        init = max_lr / div
+        if three_phase:
+            phases = [(pct * total - 1, 1, div),
+                      (2 * pct * total - 2, div, 1),
+                      (total - 1, 1, 1 / fdiv)]
+        else:
+            phases = [(pct * total - 1, 1, div),
+                      (total - 1, div, 1 / fdiv)]
+        exp = []
+        for it in range(total):
+            start = 0.0
+            for end, sr, er in phases:
+                if it <= end:
+                    p = (it - start) / (end - start)
+                    exp.append(_np_anneal_cos(init * sr, init * er, p))
+                    break
+                start = end
+        np.testing.assert_allclose(got, np.asarray(exp), rtol=1e-4,
+                                   atol=1e-6)
+
+
 class TestAdan:
     def test_decreases_quadratic(self):
         params = {"w": jnp.array([2.0, -3.0])}
@@ -89,6 +222,52 @@ class TestAdan:
             updates, state = tx.update(g, state, params)
             params = optax.apply_updates(params, updates)
         assert float(loss(params)) < 0.05
+
+    def test_proximal_matches_reference_algorithm(self):
+        """no_prox=False golden test vs a direct numpy transcription of
+        official Adan (arXiv:2208.06677 Alg.1): p ← (p − lr·d)/(1 + lr·wd)."""
+        lr, wd = 0.05, 0.1
+        b1, b2, b3, eps = 0.98, 0.92, 0.99, 1e-8
+        rng = np.random.default_rng(0)
+        p_np = rng.normal(size=(3, 2)).astype(np.float64)
+        grads = [rng.normal(size=(3, 2)).astype(np.float64)
+                 for _ in range(5)]
+
+        m = v = n = np.zeros_like(p_np)
+        prev = None
+        expect = p_np.copy()
+        for t, g in enumerate(grads, start=1):
+            d = np.zeros_like(g) if prev is None else g - prev
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * d
+            n = b3 * n + (1 - b3) * (g + (1 - b2) * d) ** 2
+            upd = (m / (1 - b1 ** t) + (1 - b2) * v / (1 - b2 ** t)) / (
+                np.sqrt(n / (1 - b3 ** t)) + eps)
+            expect = (expect - lr * upd) / (1 + lr * wd)
+            prev = g
+
+        params = {"w": jnp.asarray(p_np, jnp.float32)}
+        tx = adan(lr, weight_decay=wd, no_prox=False)
+        state = tx.init(params)
+        for g in grads:
+            updates, state = tx.update(
+                {"w": jnp.asarray(g, jnp.float32)}, state, params)
+            params = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(np.asarray(params["w"]), expect,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_adanp_and_adan_differ_under_decay(self):
+        params = {"w": jnp.ones((4,)) * 2.0}
+        g = {"w": jnp.ones((4,))}
+        outs = {}
+        for no_prox in (True, False):
+            tx = adan(0.1, weight_decay=0.5, no_prox=no_prox,
+                      mask=lambda p: jax.tree_util.tree_map(
+                          lambda _: True, p))
+            st = tx.init(params)
+            u, _ = tx.update(g, st, params)
+            outs[no_prox] = np.asarray(optax.apply_updates(params, u)["w"])
+        assert not np.allclose(outs[True], outs[False])
 
 
 class TestBuildOptimizer:
