@@ -329,8 +329,17 @@ def llama_decode_step(
     *,
     inputs_embeds: jnp.ndarray,  # (B, 1, D) — embedding of the new token
     compute_dtype=jnp.bfloat16,
+    use_fused: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """One decode step: returns (logits (B, V), updated cache)."""
+    """One decode step: returns (logits (B, V), updated cache).
+
+    The stacked (L, B, H, S, D) cache is threaded as a scan CARRY (not
+    xs/ys): with the fused Pallas append+attention kernel the cache buffer
+    aliases in place through the whole loop — the xs/ys formulation forced
+    XLA to copy every layer's full cache slice per step, which dominated
+    decode at long context (decode is HBM-bandwidth-bound)."""
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
     x = inputs_embeds.astype(compute_dtype)
     b = x.shape[0]
     positions = cache.length[:, None]  # (B, 1)
@@ -339,20 +348,31 @@ def llama_decode_step(
     layers = _cast_params(params["layers"], compute_dtype)
     new_len = cache.length + 1
 
-    def body(carry, xs):
-        lp, kc, vc = xs
-        h = rms_norm(carry, lp["input_norm"], cfg.rms_norm_eps)
+    def body(carry, lp):
+        x_in, kc, vc, li = carry
+        h = rms_norm(x_in, lp["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(h, lp, cfg, cos, sin)  # (B, H, 1, hd)
-        kc = _write_at(kc, k, cache.length)
-        vc = _write_at(vc, v, cache.length)
-        attn = decode_attention(q, kc, vc, new_len)
+        if use_fused:
+            from ..ops.fused_decode import fused_decode_attention
+
+            attn, kc, vc = fused_decode_attention(
+                q, k, v, kc, vc, cache.length, li)
+        else:
+            kcl = _write_at(kc[li], k, cache.length)
+            vcl = _write_at(vc[li], v, cache.length)
+            attn = decode_attention(q, kcl, vcl, new_len)
+            kc = jax.lax.dynamic_update_index_in_dim(
+                kc, kcl.astype(kc.dtype), li, 0)
+            vc = jax.lax.dynamic_update_index_in_dim(
+                vc, vcl.astype(vc.dtype), li, 0)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_size)
-        x_mid = carry + _proj(lp, "wo", attn)
+        x_mid = x_in + _proj(lp, "wo", attn)
         h2 = rms_norm(x_mid, lp["post_attn_norm"], cfg.rms_norm_eps)
         x_out = x_mid + _silu_mlp(h2, lp)
-        return x_out, (kc, vc)
+        return (x_out, kc, vc, li + 1), None
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+    init = (x, cache.k, cache.v, jnp.zeros((), jnp.int32))
+    (x, new_k, new_v, _), _ = jax.lax.scan(body, init, layers)
     x = rms_norm(x, params["final_norm"].astype(compute_dtype),
                  cfg.rms_norm_eps)
     logits = jnp.dot(x[:, 0, :], params["lm_head"].astype(compute_dtype),

@@ -1,0 +1,218 @@
+"""Fused decode attention + KV-cache append (Pallas, in-place HBM cache).
+
+One decode step must (a) append the new token's K/V row into the cache and
+(b) attend the new query over the valid cache prefix. The reference does this
+through HF's dynamic KV cache (lhrs/models/text_modal.py:36-60); the XLA
+formulation here (models/llama.py `_write_at` + ops/decode_attention.py)
+reads the whole cache for attention AND rewrites the whole cache for the
+append — the append's full-size output copy dominates at long context
+because decode is HBM-bandwidth-bound.
+
+This kernel makes the cache traversal one pass and the append O(window):
+
+  * the FULL stacked cache (L, B, H, S, D) lives in HBM and aliases the
+    output (input_output_aliases) — nothing is copied;
+  * per (layer, seq) program: the new K/V row is read-modify-written into
+    its 8-row aligned window (~H*8*D elements, not H*S*D), then attention
+    runs block-by-block over ONLY the valid prefix (ceil((len+1)/BS) blocks
+    instead of S_max) with double-buffered HBM→VMEM DMA and an online
+    softmax; scores/PV ride the MXU as H-batched matmuls — heads stay
+    batched (the recorded 15x regression for per-head lane layouts).
+
+The layer index is a traced scalar (scalar-prefetch), so the kernel is
+called once per scan step with the cache as a loop CARRY: XLA aliases
+while-loop carries in place, which keeps the whole decode loop zero-copy
+end-to-end when the caller donates the cache.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _kernel(layer_ref, len_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
+            out_ref, ko_ref, vo_ref,
+            kbuf, vbuf, kwin, vwin, sem_k, sem_v, sem_w,
+            *, block_s: int, windows: int, sm_scale: float):
+    del kc_ref, vc_ref  # aliased with ko_ref/vo_ref; all access via outputs
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    length = len_ref[b]  # valid entries BEFORE this step's append
+    win = windows  # aligned RMW window (sublane-tile multiple)
+
+    # ---- append: RMW the aligned window around `length` ------------------
+    aligned = pl.multiple_of((length // win) * win, win)
+    kwin_hbm = ko_ref.at[pl.ds(layer, 1), pl.ds(b, 1), :,
+                         pl.ds(aligned, win), :]
+    vwin_hbm = vo_ref.at[pl.ds(layer, 1), pl.ds(b, 1), :,
+                         pl.ds(aligned, win), :]
+    cp = pltpu.make_async_copy(kwin_hbm, kwin, sem_w.at[0])
+    cp.start()
+    cp2 = pltpu.make_async_copy(vwin_hbm, vwin, sem_w.at[1])
+    cp2.start()
+    cp.wait()
+    cp2.wait()
+    row = length - aligned
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, kwin.shape, 3)
+    kwin[:] = jnp.where(row_ids == row, kn_ref[:][None], kwin[:])
+    vwin[:] = jnp.where(row_ids == row, vn_ref[:][None], vwin[:])
+    cp = pltpu.make_async_copy(kwin, kwin_hbm, sem_w.at[0])
+    cp.start()
+    cp2 = pltpu.make_async_copy(vwin, vwin_hbm, sem_w.at[1])
+    cp2.start()
+    cp.wait()
+    cp2.wait()
+
+    # ---- attention over the valid prefix (now length+1 entries) ----------
+    h, _, d = q_ref.shape[1:]
+    q = (q_ref[0, :, 0, :].astype(jnp.float32) * sm_scale).astype(
+        q_ref.dtype)  # (H, D)
+    n_valid = length + 1
+    nb = pl.cdiv(n_valid, block_s)
+
+    def dma(slot, blk, buf, src, sem):
+        return pltpu.make_async_copy(
+            src.at[pl.ds(layer, 1), pl.ds(b, 1), :,
+                   pl.ds(blk * block_s, block_s), :],
+            buf.at[pl.ds(slot, 1)], sem.at[slot])
+
+    dma(0, 0, kbuf, ko_ref, sem_k).start()
+    dma(0, 0, vbuf, vo_ref, sem_v).start()
+
+    m0 = jnp.full((h, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((h, 1), jnp.float32)
+    acc0 = jnp.zeros((h, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            nxt = jax.lax.rem(i + 1, 2)
+            dma(nxt, i + 1, kbuf, ko_ref, sem_k).start()
+            dma(nxt, i + 1, vbuf, vo_ref, sem_v).start()
+
+        pltpu.make_async_copy(kbuf.at[pl.ds(slot, 1)],
+                              kbuf.at[pl.ds(slot, 1)],
+                              sem_k.at[slot]).wait()
+        k = kbuf[slot, 0]  # (H, BS, D)
+        # scores: H-batched (1, D) x (D, BS) on the MXU
+        s = jax.lax.dot_general(
+            q[:, None, :], k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]  # (H, BS)
+        col = i * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, _NEG_INF)
+
+        new_m = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - new_m)
+        p = jnp.exp(s - new_m)  # (H, BS)
+
+        pltpu.make_async_copy(vbuf.at[pl.ds(slot, 1)],
+                              vbuf.at[pl.ds(slot, 1)],
+                              sem_v.at[slot]).wait()
+        v = vbuf[slot, 0]  # (H, BS, D)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype)[:, None, :], v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]  # (H, D)
+        acc = acc * alpha + pv
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        return new_m, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
+    out_ref[0, :, 0, :] = (acc / l).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "block_s", "interpret", "vmem_limit"))
+def fused_decode_attention(
+    q: jnp.ndarray,       # (B, H, 1, D) current query
+    k_new: jnp.ndarray,   # (B, H, 1, D) this step's key
+    v_new: jnp.ndarray,   # (B, H, 1, D) this step's value
+    k_cache: jnp.ndarray,  # (L, B, H, S, D) stacked cache — DONATE upstream
+    v_cache: jnp.ndarray,  # (L, B, H, S, D)
+    lengths: jnp.ndarray,  # (B,) int32 valid entries before the append
+    layer: jnp.ndarray,    # () int32 layer index
+    *,
+    sm_scale: Optional[float] = None,
+    block_s: int = 256,
+    interpret: bool = False,
+    vmem_limit: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (attn_out (B,H,1,D), k_cache, v_cache) with k_new/v_new
+    appended at lengths[b] of `layer` and attention taken over the
+    lengths[b]+1 valid entries. The caches alias in/out (in-place)."""
+    nl, bsz, h, s, d = k_cache.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    block_s = min(block_s, s)
+    while block_s > 8 and s % block_s:
+        block_s //= 2
+    assert s % block_s == 0, (s, block_s)
+    # aligned append window: sublane tile is 8 (f32) / 16 (bf16/f16)
+    windows = 8 if k_cache.dtype == jnp.float32 else 16
+    assert s % windows == 0, (s, windows)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # layer, lengths
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, h, 1, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # q
+            pl.BlockSpec((1, h, 1, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # k_new
+            pl.BlockSpec((1, h, 1, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_new
+            pl.BlockSpec(memory_space=pltpu.ANY),   # k_cache (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # v_cache (aliased)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, 1, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # attn out
+            pl.BlockSpec(memory_space=pltpu.ANY),   # k_cache out
+            pl.BlockSpec(memory_space=pltpu.ANY),   # v_cache out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, h, block_s, d), k_cache.dtype),  # kbuf
+            pltpu.VMEM((2, 1, h, block_s, d), v_cache.dtype),  # vbuf
+            pltpu.VMEM((1, 1, h, windows, d), k_cache.dtype),  # kwin
+            pltpu.VMEM((1, 1, h, windows, d), v_cache.dtype),  # vwin
+            pltpu.SemaphoreType.DMA((2,)),  # sem_k
+            pltpu.SemaphoreType.DMA((2,)),  # sem_v
+            pltpu.SemaphoreType.DMA((2,)),  # sem_w
+        ],
+    )
+    kernel = functools.partial(_kernel, block_s=block_s, windows=windows,
+                               sm_scale=float(sm_scale))
+    out, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # inputs counted including the two scalar-prefetch args
+        input_output_aliases={5: 1, 6: 2},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=vmem_limit or (96 * 1024 * 1024)),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      lengths.astype(jnp.int32),
+      q, k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
+      k_cache, v_cache)
+    return out, k_out, v_out

@@ -68,12 +68,21 @@ class GenerationEngine:
         cache_dtype=jnp.bfloat16,
         quantize_bits: Optional[int] = None,  # 8/4: int weights for decode
         mesh=None,  # jax.sharding.Mesh → TP-shard the decoder over ICI
+        prompt_bucket: int = 64,  # pad prompts up to a bucket width
+        cache_bucket: int = 256,  # round cache lengths up to a bucket
+        max_compiled_scans: int = 8,  # bound the decode-scan jit cache
     ):
         self.cfg = cfg
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.cache_dtype = cache_dtype
         self.max_seq_len = max_seq_len
+        # compile-churn control: every distinct (prompt width, cache length,
+        # steps) tuple is a fresh XLA program — minutes of 7B compile through
+        # the remote tunnel — so widths and cache lengths are bucketed
+        self.prompt_bucket = prompt_bucket
+        self.cache_bucket = cache_bucket
+        self.max_compiled_scans = max_compiled_scans
         # merge LoRA once at load (merge_and_unload parity, UniBind.py:110-116)
         self.params = params
         self.llama_params = jax.tree_util.tree_map(
@@ -101,7 +110,9 @@ class GenerationEngine:
                 mesh, self.llama_params)
         self._prefill_jit = jax.jit(
             self._prefill, static_argnames=("batch", "cache_len"))
-        self._decode_scan_jit = {}
+        import collections
+
+        self._decode_scan_jit = collections.OrderedDict()  # LRU, bounded
         # donate the cache: decode updates alias in place, otherwise every
         # queued step holds a full cache copy (OOMs at 7B scale)
         self._decode_step_jit = jax.jit(self._decode_step,
@@ -139,6 +150,7 @@ class GenerationEngine:
     def _decode_scan(self, steps: int, gen_cfg: GenerationConfig):
         key = (steps, gen_cfg)
         if key in self._decode_scan_jit:
+            self._decode_scan_jit.move_to_end(key)  # LRU refresh
             return self._decode_scan_jit[key]
 
         def run(llama_params, cache, first_tokens, rng):
@@ -157,11 +169,75 @@ class GenerationEngine:
                 body, (cache, first_tokens, done0), rngs)
             return toks.T, cache  # (B, steps)
 
-        fn = jax.jit(run)
+        # cache is donated: the scan's in-place appends alias the prefill
+        # output buffer instead of copying the full cache on entry
+        fn = jax.jit(run, donate_argnums=(1,))
         self._decode_scan_jit[key] = fn
+        while len(self._decode_scan_jit) > self.max_compiled_scans:
+            self._decode_scan_jit.popitem(last=False)  # evict LRU
         return fn
 
     # -- public API ---------------------------------------------------------
+
+    def _bucketed(self, t: int, n_img: int, max_new: int) -> Tuple[int, int]:
+        """(prompt width, cache length) rounded up to bucket multiples so
+        the eval prompt-length distribution maps onto a handful of compiled
+        programs instead of one per distinct length."""
+        width = -(-t // self.prompt_bucket) * self.prompt_bucket
+        # the splice expands one image token into n_img embeddings: the
+        # spliced prompt (width + n_img - 1) must fit the cache
+        width = min(width, self.max_seq_len - n_img)
+        cache_len = -(-(width + n_img + max_new) //
+                      self.cache_bucket) * self.cache_bucket
+        return width, min(cache_len, self.max_seq_len)
+
+    def _pad_ids(self, input_ids: np.ndarray, width: int,
+                 pad_id: int) -> np.ndarray:
+        t = input_ids.shape[1]
+        if t == width:
+            return input_ids
+        if t > width:
+            return input_ids[:, :width]
+        out = np.full((input_ids.shape[0], width), pad_id,
+                      input_ids.dtype)
+        out[:, :t] = input_ids
+        return out
+
+    def warmup(
+        self,
+        *,
+        batch_sizes: Sequence[int] = (1,),
+        prompt_lens: Sequence[int] = (64, 256),
+        max_new_tokens: Sequence[int] = (128,),
+        with_image: bool = True,
+        gen_cfg: Optional[GenerationConfig] = None,
+    ) -> int:
+        """Pre-compile the prefill/decode programs for the expected request
+        shapes at startup (7B compiles take minutes through a remote
+        runtime — they must not land on the first user request). Returns the
+        number of (batch, width) prefill programs compiled."""
+        gen_cfg = gen_cfg or GenerationConfig()
+        n = 0
+        img_hw = self.cfg.vit.image_size
+        for b in batch_sizes:
+            for t in prompt_lens:
+                for mnt in max_new_tokens:
+                    ids = np.full((b, min(t, 4)), 5, np.int32)
+                    imgs = (np.zeros((b, img_hw, img_hw, 3), np.uint8)
+                            if with_image else None)
+                    if imgs is not None:
+                        ids[:, 0] = -200
+                    # route through generate() with the REAL gen_cfg:
+                    # identical bucketing + scan length → the first user
+                    # request hits exactly these compiled programs
+                    self.generate(
+                        self._pad_ids(ids, t, 0),
+                        np.full((b,), ids.shape[1], np.int32),
+                        images=imgs,
+                        gen_cfg=dataclasses.replace(
+                            gen_cfg, max_new_tokens=mnt))
+                    n += 1
+        return n
 
     def generate(
         self,
@@ -176,8 +252,10 @@ class GenerationEngine:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         batch, t = input_ids.shape
         n_img = self.cfg.pooler.num_query if images is not None else 0
-        cache_len = min(
-            self.max_seq_len, t + n_img + gen_cfg.max_new_tokens)
+        width, cache_len = self._bucketed(t, n_img, gen_cfg.max_new_tokens)
+        input_ids = self._pad_ids(np.asarray(input_ids), width,
+                                  gen_cfg.pad_token_id)
+        seq_lens = np.minimum(np.asarray(seq_lens), width)
 
         logits, cache = self._prefill_jit(
             self.params, self.llama_params, jnp.asarray(input_ids),
@@ -220,7 +298,10 @@ class GenerationEngine:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         t = input_ids.shape[1]
         n_img = self.cfg.pooler.num_query if images is not None else 0
-        cache_len = min(self.max_seq_len, t + n_img + gen_cfg.max_new_tokens)
+        width, cache_len = self._bucketed(t, n_img, gen_cfg.max_new_tokens)
+        input_ids = self._pad_ids(np.asarray(input_ids), width,
+                                  gen_cfg.pad_token_id)
+        seq_len = min(int(seq_len), width)
 
         logits, cache = self._prefill_jit(
             self.params, self.llama_params, jnp.asarray(input_ids),

@@ -81,8 +81,9 @@ class TorchPooler(nn.Module):
 
 
 def _load_pooler_weights(pooler: TorchPooler, other_sd):
-    sd = {k[len("rgb_pooler."):]: v for k, v in other_sd.items()
-          if k.startswith("rgb_pooler.")}
+    # nested reference layout (UniBind.py:275-294): other_ckpt["rgb_pooler"]
+    # carries the pooler state dict with the group prefix stripped
+    sd = dict(other_sd["rgb_pooler"])
     # query stored (1, nq, h)
     missing, unexpected = pooler.load_state_dict(sd, strict=False)
     assert not missing, missing

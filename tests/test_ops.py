@@ -240,3 +240,81 @@ class TestCacheRowUpdate:
             mask[p] = False
             np.testing.assert_array_equal(out[b][:, mask, :],
                                           np.asarray(base)[b][:, mask, :])
+
+
+class TestFusedDecodeAttention:
+    def test_parity_with_xla_path(self):
+        """Fused append+attention vs _write_at + decode_attention, including
+        in-place cache row writes and untouched other layers."""
+        from lhrs_bot_tpu.models.llama import _write_at
+        from lhrs_bot_tpu.ops.decode_attention import decode_attention
+        from lhrs_bot_tpu.ops.fused_decode import fused_decode_attention
+
+        rng = np.random.default_rng(0)
+        L, B, H, S, D = 2, 2, 2, 32, 128
+        kc = jnp.asarray(rng.normal(size=(L, B, H, S, D)), jnp.float32)
+        vc = jnp.asarray(rng.normal(size=(L, B, H, S, D)), jnp.float32)
+        lens = jnp.asarray([5, 17], jnp.int32)
+        q = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        kn = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        vn = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+
+        for layer in (0, 1):
+            out, k2, v2 = fused_decode_attention(
+                q, kn, vn, kc, vc, lens, jnp.int32(layer),
+                interpret=True, block_s=16)
+            kr = _write_at(kc[layer], kn, lens)
+            vr = _write_at(vc[layer], vn, lens)
+            ref = decode_attention(q, kr, vr, lens + 1)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(k2[layer]),
+                                       np.asarray(kr), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(v2[layer]),
+                                       np.asarray(vr), rtol=1e-6)
+            other = 1 - layer
+            np.testing.assert_allclose(np.asarray(k2[other]),
+                                       np.asarray(kc[other]), rtol=1e-6)
+
+    def test_decode_step_fused_matches_xla(self):
+        """Whole llama_decode_step with use_fused=True (interpret via env on
+        CPU is not available, so exercise the kernel through monkeypatched
+        interpret) vs the XLA fallback."""
+        import functools
+
+        from lhrs_bot_tpu.models.llama import (
+            KVCache, LlamaConfig, init_llama_params, llama_decode_step)
+        from lhrs_bot_tpu.ops import fused_decode
+
+        cfg = LlamaConfig.tiny_test()
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        B, S = 2, 32
+        cache = KVCache.create(cfg, B, S, dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        k0 = jnp.asarray(rng.normal(size=cache.k.shape), jnp.float32)
+        v0 = jnp.asarray(rng.normal(size=cache.v.shape), jnp.float32)
+        cache = KVCache(k0, v0, jnp.asarray([3, 9], jnp.int32))
+        emb = jnp.asarray(rng.normal(size=(B, 1, cfg.hidden_size)),
+                          jnp.float32)
+
+        logits_ref, cache_ref = llama_decode_step(
+            params, cfg, cache, inputs_embeds=emb,
+            compute_dtype=jnp.float32, use_fused=False)
+
+        orig = fused_decode.fused_decode_attention
+        patched = functools.partial(orig, interpret=True, block_s=16)
+        fused_decode.fused_decode_attention = patched
+        try:
+            logits_f, cache_f = llama_decode_step(
+                params, cfg, cache, inputs_embeds=emb,
+                compute_dtype=jnp.float32, use_fused=True)
+        finally:
+            fused_decode.fused_decode_attention = orig
+        np.testing.assert_allclose(np.asarray(logits_f),
+                                   np.asarray(logits_ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(cache_f.k),
+                                   np.asarray(cache_ref.k),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(cache_f.length),
+                                      np.asarray(cache_ref.length))
