@@ -152,7 +152,30 @@ def bench_prefill():
     vq = {**vp, "layers": quantize_vision_layers(vp["layers"])}
     pq = {**pp, "layers": quantize_vision_layers(pp["layers"])}
     w8a8 = measure(vq, pq)
-    return bf16, w8a8
+
+    # fused W8A8 Pallas block kernel for the tower (ops/vit_block.py)
+    from lhrs_bot_tpu.models.vit import vit_encode_fused
+    from lhrs_bot_tpu.ops.vit_block import pack_vit_layers_fused
+
+    packed = jax.jit(pack_vit_layers_fused)(vp["layers"])
+    jax.block_until_ready(packed)
+
+    @jax.jit
+    def prefill_fused(vparams, packed_, pparams, imgs):
+        feats = vit_encode_fused(vparams, packed_, imgs, vit_cfg)
+        return jnp.sum(perceiver_resample(pparams, feats, pool_cfg,
+                                          compute_dtype=jnp.bfloat16))
+
+    def measure_fused(pparams, iters=10):
+        float(prefill_fused(vp, packed, pparams, images))
+        t0 = time.perf_counter()
+        for _ in range(iters - 1):
+            prefill_fused(vp, packed, pparams, images)
+        float(prefill_fused(vp, packed, pparams, images))
+        return batch * iters / (time.perf_counter() - t0)
+
+    fused = measure_fused(pq)
+    return bf16, w8a8, fused
 
 
 def main():
@@ -164,14 +187,19 @@ def main():
         tok_s, decode_extra = bench_decode()
     except Exception as exc:  # noqa: BLE001
         err = f"decode: {exc}"
-    img_w8a8 = None
+    img_w8a8 = img_fused = None
     try:
-        img_s, img_w8a8 = bench_prefill()
+        img_s, img_w8a8, img_fused = bench_prefill()
     except Exception as exc:  # noqa: BLE001
         err = (err + "; " if err else "") + f"prefill: {exc}"
 
     extra = dict(decode_extra)
-    if img_s is not None:
+    if img_fused is not None:
+        # serving fast path: fused W8A8 Pallas vision blocks
+        extra["vit_perceiver_prefill_img_per_s"] = round(img_fused, 2)
+        extra["prefill_vs_target"] = round(img_fused / PREFILL_TARGET, 4)
+        extra["prefill_bf16_img_per_s"] = round(img_s, 2)
+    elif img_s is not None:
         extra["vit_perceiver_prefill_img_per_s"] = round(img_s, 2)
         extra["prefill_vs_target"] = round(img_s / PREFILL_TARGET, 4)
     if img_w8a8 is not None:

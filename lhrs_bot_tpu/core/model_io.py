@@ -37,8 +37,22 @@ def load_pretrained(
     rng: Optional[jax.Array] = None,
     dtype=jnp.float32,
 ) -> Dict:
-    """Build params: random init, then overlay whatever artifacts exist."""
+    """Build params: random init, then overlay whatever artifacts exist.
+
+    Everything happens on the HOST (CPU backend): a 7B f32 init is ~27 GB,
+    which must never touch the 16 GB chip — callers (engine/trainer) cast,
+    quantize and shard onto devices afterwards."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        return _load_pretrained_host(cfg, model_path=model_path,
+                                     vit_path=vit_path,
+                                     llama_path=llama_path, rng=rng,
+                                     dtype=dtype)
+
+
+def _load_pretrained_host(cfg, *, model_path, vit_path, llama_path, rng,
+                          dtype) -> Dict:
     params = init_vlm_params(rng, cfg, dtype)
 
     def fit(a, ref):

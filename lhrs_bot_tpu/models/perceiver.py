@@ -125,6 +125,68 @@ def _cross_block(q_tokens, kv_tokens, lp, cfg: PerceiverConfig, kv_mask=None):
     return x
 
 
+def perceiver_resample_fused(
+    params,
+    packed_layers,
+    image_embs: jnp.ndarray,  # (B, sum(split_part), encoder_hidden)
+    cfg: PerceiverConfig,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """perceiver_resample through the fused W8A8 Pallas block
+    (ops/perceiver_block.py). `packed_layers` from
+    pack_perceiver_layers_fused. Groups are padded to common (q_pad,
+    kv_pad) shapes with static masks inside the kernel."""
+    from ..ops.perceiver_block import fused_perceiver_block
+
+    image_embs = image_embs.astype(jnp.bfloat16)
+    if "in_proj_w" in params:
+        image_embs = (
+            jnp.dot(image_embs, params["in_proj_w"].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            + params["in_proj_b"].astype(jnp.float32)
+        ).astype(jnp.bfloat16)
+
+    b = image_embs.shape[0]
+    h = cfg.hidden_size
+    q_pad = -(-max(cfg.stage_num) // 16) * 16
+    kv_img = max(cfg.split_part)
+    kv_pad = q_pad + (-(-kv_img // 16) * 16)
+
+    queries = params["query"].astype(jnp.bfloat16)
+    q_groups, kv_groups, kv_valid = [], [], []
+    q_off = img_off = 0
+    for nq, nkv in zip(cfg.stage_num, cfg.split_part):
+        q0 = queries[q_off:q_off + nq]
+        q0p = jnp.pad(q0, ((0, q_pad - nq), (0, 0)))
+        img = image_embs[:, img_off:img_off + nkv]
+        imgp = jnp.pad(img, ((0, 0), (0, kv_pad - q_pad - nkv), (0, 0)))
+        q_groups.append(jnp.broadcast_to(q0p[None], (b, q_pad, h)))
+        kv_groups.append(jnp.concatenate(
+            [jnp.broadcast_to(q0p[None], (b, q_pad, h)), imgp], axis=1))
+        kv_valid.append(nq + nkv)
+        q_off += nq
+        img_off += nkv
+    q_state = jnp.stack(q_groups, axis=1)  # (B, G, q_pad, W)
+    kv_fixed = jnp.stack(kv_groups, axis=1)  # (B, G, kv_pad, W)
+
+    def body(carry, lp):
+        out = fused_perceiver_block(
+            carry, kv_fixed, lp, heads=cfg.heads,
+            group_nq=tuple(cfg.stage_num), kv_valid=tuple(kv_valid),
+            ln_eps=cfg.ln_eps, interpret=interpret)
+        return out, None
+
+    q_state, _ = jax.lax.scan(body, q_state, packed_layers)
+    pooled = jnp.concatenate(
+        [q_state[:, g, :nq] for g, nq in enumerate(cfg.stage_num)], axis=1)
+    return (
+        jnp.dot(pooled, params["out_proj_w"].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        + params["out_proj_b"].astype(jnp.float32)
+    ).astype(jnp.bfloat16)
+
+
 def perceiver_resample(
     params,
     image_embs: jnp.ndarray,  # (B, sum(split_part), encoder_hidden)

@@ -183,6 +183,45 @@ def vit_embed(params, images, cfg: ViTConfig, compute_dtype=jnp.bfloat16):
     return x
 
 
+def vit_encode_fused(
+    params,
+    packed_layers,
+    images: jnp.ndarray,
+    cfg: ViTConfig,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-level encode through the fused W8A8 Pallas block kernel
+    (ops/vit_block.py). `packed_layers` comes from pack_vit_layers_fused.
+    Same tap semantics as vit_encode; the token axis is padded to a sublane
+    multiple for the kernel and padded rows are masked/dropped."""
+    from ..ops.vit_block import fused_vit_block
+
+    x = vit_embed(params, images, cfg, jnp.bfloat16)
+    x = layer_norm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"],
+                   cfg.ln_eps)
+    s = cfg.seq_len
+    s_pad = -(-s // 16) * 16  # bf16 sublane tile
+    if s_pad != s:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    def body(carry, lp):
+        out = fused_vit_block(
+            carry, lp, heads=cfg.heads, s_valid=s, ln_eps=cfg.ln_eps,
+            quick_gelu=cfg.quick_gelu, interpret=interpret)
+        return out, None
+
+    taps = []
+    prev = 0
+    for stage in cfg.extract_stages:
+        sliced = jax.tree_util.tree_map(lambda p: p[prev:stage],
+                                        packed_layers)
+        x, _ = jax.lax.scan(body, x, sliced)
+        taps.append(x[:, 1:s, :])  # drop CLS and padding
+        prev = stage
+    return jnp.concatenate(taps, axis=1)
+
+
 def vit_encode(
     params,
     images: jnp.ndarray,

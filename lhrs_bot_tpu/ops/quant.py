@@ -147,7 +147,7 @@ def quantize_llama_layers(layers: Dict[str, jnp.ndarray],
     fn = quantize_int8 if bits == 8 else quantize_int4
     out: Dict[str, Any] = {}
     for name, w in layers.items():
-        if name in _QUANT_TARGETS:
+        if name in _QUANT_TARGETS and not isinstance(w, QuantizedTensor):
             out[name] = fn(w, axis=1)
         else:
             out[name] = w
