@@ -60,6 +60,21 @@ CAPTION_QA_TEMPLATES = [
 
 
 def _load_image(path: str, image_size: int = 224) -> np.ndarray:
+    """Image file → (size, size, 3) uint8, CLIP geometry.
+
+    JPEGs route through the native decode+bicubic-resize library when built
+    (≤1 LSB from the PIL path, tests/test_native.py) — the host half of the
+    2k img/s feed; everything else (PNG, or native unbuilt/corrupt) falls
+    back to PIL."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from . import native
+
+        if native.available():
+            with open(path, "rb") as fh:
+                buf = fh.read()
+            out, ok = native.decode_resize_batch([buf], size=image_size)
+            if ok[0]:
+                return out[0]
     from PIL import Image
 
     with Image.open(path) as img:

@@ -45,13 +45,57 @@ def log_and_continue(exn: Exception) -> bool:
     return True
 
 
-def _group_tar_samples(tar_path: str,
+def url_opener(url: str):
+    """Open a shard URL as a readable byte stream (cap_dataset.py:618
+    `wds.tarfile_to_samples` over piped/remote URLs).
+
+    Supported schemes:
+      * plain local path — buffered file;
+      * ``pipe:<command>`` — the command's stdout (webdataset `pipe:` parity;
+        e.g. ``pipe:curl -s -L <url>``);
+      * ``http(s)://`` — streamed urllib response (no full download);
+      * ``gs://`` / ``s3://`` — delegated to a ``gsutil cat`` /
+        ``aws s3 cp - `` subprocess pipe, matching how the reference's
+        webdataset recipes stream cloud shards.
+
+    Returns (fileobj, closer) — call closer() when done (it also reaps any
+    subprocess)."""
+    import subprocess
+
+    if url.startswith("pipe:"):
+        proc = subprocess.Popen(url[5:], shell=True, stdout=subprocess.PIPE,
+                                stderr=subprocess.DEVNULL, bufsize=1 << 20)
+
+        def close():
+            proc.stdout.close()
+            proc.terminate()
+            proc.wait()
+
+        return proc.stdout, close
+    if url.startswith(("http://", "https://")):
+        import urllib.request
+
+        resp = urllib.request.urlopen(url)  # noqa: S310 — shard URL by config
+        return resp, resp.close
+    if url.startswith("gs://"):
+        return url_opener(f"pipe:gsutil cat {url}")
+    if url.startswith("s3://"):
+        return url_opener(f"pipe:aws s3 cp {url} -")
+    fh = open(url, "rb")
+    return fh, fh.close
+
+
+def _group_tar_samples(tar_url: str,
                        handler: Callable = log_and_continue
                        ) -> Iterator[Dict[str, bytes]]:
     """Group tar members by key (basename up to the first dot)."""
+    closer = None
     try:
-        tf = tarfile.open(tar_path, mode="r|*")
+        stream, closer = url_opener(tar_url)
+        tf = tarfile.open(fileobj=stream, mode="r|*")
     except Exception as exn:  # noqa: BLE001
+        if closer is not None:
+            closer()
         if handler(exn):
             return
         raise
@@ -83,16 +127,21 @@ def _group_tar_samples(tar_path: str,
             raise
     finally:
         tf.close()
+        if closer is not None:
+            closer()
 
 
-def default_decoder(sample: Dict[str, bytes]) -> Optional[Dict]:
-    """{jpg/png/jpeg, txt/caption} → {"rgb": uint8 HWC, "text": str}."""
-    from PIL import Image
+def default_decoder(sample: Dict[str, bytes],
+                    image_size: Optional[int] = None) -> Optional[Dict]:
+    """{jpg/png/jpeg, txt/caption} → {"rgb": uint8 HWC, "text": str}.
 
-    img_bytes = None
+    With `image_size` set, JPEGs take the native fused decode+bicubic-resize
+    path (data/native.py) and "rgb" arrives already (size, size, 3) —
+    the training-feed fast path; PIL otherwise."""
+    img_bytes = ext_found = None
     for ext in ("jpg", "jpeg", "png", "webp"):
         if ext in sample:
-            img_bytes = sample[ext]
+            img_bytes, ext_found = sample[ext], ext
             break
     text = None
     for ext in ("txt", "text", "caption"):
@@ -101,12 +150,28 @@ def default_decoder(sample: Dict[str, bytes]) -> Optional[Dict]:
             break
     if img_bytes is None or text is None:
         return None
+    if image_size is not None and ext_found in ("jpg", "jpeg"):
+        from . import native
+
+        if native.available():
+            out, ok = native.decode_resize_batch([img_bytes],
+                                                 size=image_size)
+            if ok[0]:
+                return {"rgb": out[0], "text": text}
+            log_and_continue(ValueError("native JPEG decode failed"))
+            return None
+    from PIL import Image
+
     try:
         with Image.open(io.BytesIO(img_bytes)) as img:
             rgb = np.asarray(img.convert("RGB"), np.uint8)
     except Exception as exn:  # noqa: BLE001
         log_and_continue(exn)
         return None
+    if image_size is not None:
+        from .transforms import clip_preprocess_uint8
+
+        rgb = clip_preprocess_uint8(rgb, image_size)
     return {"rgb": rgb, "text": text}
 
 
@@ -185,6 +250,13 @@ class RS5MDataset(TarShardDataset):
 
     def __init__(self, urls, tokenizer, image_size: int = 224,
                  num_samples: Optional[int] = None, **kw):
+        # decode+resize fused (native fast path) unless the caller overrode
+        # the decoder
+        if "decoder" not in kw:
+            import functools
+
+            kw["decoder"] = functools.partial(default_decoder,
+                                              image_size=image_size)
         super().__init__(urls, **kw)
         self.tokenizer = tokenizer
         self.image_size = image_size
@@ -202,7 +274,10 @@ class RS5MDataset(TarShardDataset):
         from .transforms import clip_preprocess_uint8
 
         for sample in super().__iter__():
-            image = clip_preprocess_uint8(sample["rgb"], self.image_size)
+            rgb = sample["rgb"]
+            image = (rgb if rgb.shape[:2] == (self.image_size,
+                                              self.image_size)
+                     else clip_preprocess_uint8(rgb, self.image_size))
             question = (DEFAULT_IMAGE_TOKEN + "\n"
                         + _random.choice(CAPTION_QA_TEMPLATES))
             sources = preprocess_multimodal(

@@ -14,7 +14,13 @@ calls for batched multi-user serving. This scheduler provides it TPU-style:
     admission happens between decode ticks (continuous batching);
   * static shapes throughout: slot count, cache length and prompt-length
     buckets are fixed, so the two jitted programs (prefill, decode-tick)
-    compile once.
+    compile once;
+  * each tick is a lax.scan of `tokens_per_tick` decode steps in ONE
+    dispatch — slots that hit EOS or exhaust their budget mid-chunk are
+    frozen inside the scan (cache length stops growing, emissions masked),
+    so correctness is per-token while host round-trips are amortized k×.
+    Through a remote runtime at ~20-40 ms/dispatch this is the difference
+    between ~30 and ~250 aggregate tok/s.
 """
 
 from __future__ import annotations
@@ -63,6 +69,7 @@ class ContinuousBatchingScheduler:
         eos_token_id: int = 2,
         pad_token_id: int = 0,
         prompt_bucket: int = 64,
+        tokens_per_tick: int = 8,
         gen_cfg: Optional[GenerationConfig] = None,
         rng: Optional[jax.Array] = None,
     ):
@@ -78,6 +85,7 @@ class ContinuousBatchingScheduler:
         self.pad = self.gen_cfg.pad_token_id
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.prompt_bucket = prompt_bucket
+        self.tokens_per_tick = max(1, int(tokens_per_tick))
 
         self.cache = KVCache.create(cfg.llama, max_batch, max_seq_len,
                                     dtype=cache_dtype)
@@ -122,21 +130,36 @@ class ContinuousBatchingScheduler:
         first = _sample_token(logits, rng, self.gen_cfg)
         return first, new_cache
 
-    def _tick(self, tokens, cache, active, rng):
-        """One decode step over all slots; inactive slots are frozen by
-        keeping their cache length (they still compute, results discarded)."""
-        embeds = jnp.take(self.llama_params["embed_tokens"],
-                          tokens[:, None], axis=0)
-        logits, new_cache = llama_decode_step(
-            self.llama_params, self.cfg.llama, cache,
-            inputs_embeds=embeds, compute_dtype=self.compute_dtype)
-        nxt = _sample_token(logits, rng, self.gen_cfg)
-        nxt = jnp.where(active, nxt, self.pad)
-        # inactive slots must not grow their cache
-        new_cache = KVCache(
-            k=new_cache.k, v=new_cache.v,
-            length=jnp.where(active, new_cache.length, cache.length))
-        return nxt, new_cache
+    def _tick(self, tokens, cache, active, budgets, rng):
+        """`tokens_per_tick` decode steps over all slots in one lax.scan.
+
+        A slot freezes the moment it emits EOS or exhausts its budget:
+        its cache length stops growing and later emissions are masked to
+        pad, so the k-step chunk is token-for-token identical to k
+        single-step ticks. Emits (k, B) tokens plus the (k, B) mask of
+        which emissions were live."""
+
+        def body(carry, step_rng):
+            toks, cache, act, budg = carry
+            embeds = jnp.take(self.llama_params["embed_tokens"],
+                              toks[:, None], axis=0)
+            logits, new_cache = llama_decode_step(
+                self.llama_params, self.cfg.llama, cache,
+                inputs_embeds=embeds, compute_dtype=self.compute_dtype)
+            nxt = _sample_token(logits, step_rng, self.gen_cfg)
+            emit = jnp.where(act, nxt, self.pad)
+            budg = jnp.where(act, budg - 1, budg)
+            new_act = act & (nxt != self.eos) & (budg > 0)
+            # frozen slots must not grow their cache
+            new_cache = KVCache(
+                k=new_cache.k, v=new_cache.v,
+                length=jnp.where(act, new_cache.length, cache.length))
+            return (emit, new_cache, new_act, budg), (emit, act)
+
+        rngs = jax.random.split(rng, self.tokens_per_tick)
+        (_, cache, _, _), (toks, live) = jax.lax.scan(
+            body, (tokens, cache, active, budgets), rngs)
+        return toks, live, cache
 
     # -- host-side scheduling --------------------------------------------------
 
@@ -225,17 +248,21 @@ class ContinuousBatchingScheduler:
             self.last_tokens[slot] = tok
 
     def step(self) -> int:
-        """One decode tick over all active slots; returns #still-active."""
+        """One decode tick (= `tokens_per_tick` tokens per active slot in a
+        single dispatch) over all slots; returns #still-active."""
         if not self.active.any():
             return 0
         self._rng, step_rng = jax.random.split(self._rng)
-        nxt, self.cache = self._tick_jit(
+        toks, live, self.cache = self._tick_jit(
             jnp.asarray(self.last_tokens), self.cache,
-            jnp.asarray(self.active), step_rng)
-        nxt_host = np.asarray(nxt)
-        for slot in range(self.max_batch):
-            if self.active[slot]:
-                self._push_token(slot, int(nxt_host[slot]))
+            jnp.asarray(self.active), jnp.asarray(self.slot_budget),
+            step_rng)
+        toks_host = np.asarray(toks)   # (k, B)
+        live_host = np.asarray(live)   # (k, B) — which emissions were real
+        for k in range(toks_host.shape[0]):
+            for slot in range(self.max_batch):
+                if live_host[k, slot] and self.active[slot]:
+                    self._push_token(slot, int(toks_host[k, slot]))
         return int(self.active.sum())
 
     def run(self, requests: List[Request]) -> List[Request]:

@@ -2,7 +2,7 @@
 //
 // Replaces the Python-side image preprocessing the reference runs in torch
 // DataLoader workers (CLIPImageProcessor resize+crop on CPU): JPEG decode via
-// libjpeg, bilinear shortest-edge resize, center crop, all in one pass per
+// libjpeg, PIL-parity bicubic shortest-edge resize, center crop, all in one pass per
 // image, threaded across the batch. Output is uint8 HWC — normalization is
 // fused into the device patch-embed kernel (ops/patch_embed.py), so this is
 // the complete host half of the uint8-to-logits pipeline.
@@ -71,46 +71,119 @@ bool decode_jpeg(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
   return true;
 }
 
-// Bilinear sample from an RGB image at (fx, fy).
-inline void sample_bilinear(const uint8_t* src, int w, int h, float fx,
-                            float fy, uint8_t* out_px) {
-  fx = std::min(std::max(fx, 0.0f), static_cast<float>(w - 1));
-  fy = std::min(std::max(fy, 0.0f), static_cast<float>(h - 1));
-  const int x0 = static_cast<int>(fx);
-  const int y0 = static_cast<int>(fy);
-  const int x1 = std::min(x0 + 1, w - 1);
-  const int y1 = std::min(y0 + 1, h - 1);
-  const float ax = fx - x0;
-  const float ay = fy - y0;
-  for (int c = 0; c < 3; ++c) {
-    const float top = src[(static_cast<size_t>(y0) * w + x0) * 3 + c] *
-                          (1.0f - ax) +
-                      src[(static_cast<size_t>(y0) * w + x1) * 3 + c] * ax;
-    const float bot = src[(static_cast<size_t>(y1) * w + x0) * 3 + c] *
-                          (1.0f - ax) +
-                      src[(static_cast<size_t>(y1) * w + x1) * 3 + c] * ax;
-    const float v = top * (1.0f - ay) + bot * ay;
-    out_px[c] = static_cast<uint8_t>(std::lround(
-        std::min(std::max(v, 0.0f), 255.0f)));
-  }
+// ---- PIL-parity bicubic resampling -----------------------------------------
+//
+// The parity path (data/transforms.py:39) is PIL's Image.BICUBIC: a
+// SEPARABLE convolution with the Catmull-Rom-style cubic kernel (a = -0.5,
+// support = 2) whose footprint widens by the downscale factor (area-correct
+// downsampling, unlike a naive 4-tap bicubic). Two passes (horizontal, then
+// vertical) with uint8 rounding between passes, like PIL's ImagingResample —
+// measured ≤1-2 LSB from PIL output on JPEG photos.
+
+inline double cubic_filter(double x) {
+  constexpr double a = -0.5;
+  x = std::abs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
 }
 
-// Shortest-edge resize to `size`, then center crop size x size, writing into
-// a (size, size, 3) uint8 buffer. One fused pass: for each output pixel,
-// compute the source coordinate directly (resize+crop composed).
+// Per-output-pixel filter window over one source axis, composed with a crop
+// offset: output index i samples resized coordinate (crop_off + i).
+struct FilterTable {
+  std::vector<int> xmin;                  // first source index per output
+  std::vector<int> count;                 // taps per output
+  std::vector<double> weights;            // ksize taps per output (padded)
+  int ksize = 0;
+};
+
+FilterTable make_filter(int in_size, int out_size, int crop_off,
+                        int crop_size) {
+  FilterTable ft;
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 2.0 * filterscale;  // bicubic support = 2
+  ft.ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  ft.xmin.resize(crop_size);
+  ft.count.resize(crop_size);
+  ft.weights.assign(static_cast<size_t>(crop_size) * ft.ksize, 0.0);
+  for (int i = 0; i < crop_size; ++i) {
+    const double center = (crop_off + i + 0.5) * scale;
+    int x0 = static_cast<int>(center - support + 0.5);
+    int x1 = static_cast<int>(center + support + 0.5);
+    x0 = std::max(x0, 0);
+    x1 = std::min(x1, in_size);
+    double* w = &ft.weights[static_cast<size_t>(i) * ft.ksize];
+    double total = 0.0;
+    for (int x = x0; x < x1; ++x) {
+      const double v = cubic_filter((x - center + 0.5) / filterscale);
+      w[x - x0] = v;
+      total += v;
+    }
+    if (total != 0.0)
+      for (int x = 0; x < x1 - x0; ++x) w[x] /= total;
+    ft.xmin[i] = x0;
+    ft.count[i] = x1 - x0;
+  }
+  return ft;
+}
+
+inline uint8_t clip8(double v) {
+  return static_cast<uint8_t>(
+      std::lround(std::min(std::max(v, 0.0), 255.0)));
+}
+
+// Shortest-edge bicubic resize to `size`, then center crop size x size
+// (clip_preprocess_uint8 geometry). The horizontal pass only produces the
+// cropped column window; the vertical pass only the cropped rows.
 void resize_center_crop(const uint8_t* src, int w, int h, int size,
                         uint8_t* dst) {
-  const float scale = static_cast<float>(size) / std::min(w, h);
-  const float new_w = w * scale;
-  const float new_h = h * scale;
-  const float off_x = (new_w - size) * 0.5f;
-  const float off_y = (new_h - size) * 0.5f;
-  for (int y = 0; y < size; ++y) {
-    const float fy = (y + off_y + 0.5f) / scale - 0.5f;
+  const double scale = static_cast<double>(size) / std::min(w, h);
+  const int new_w = static_cast<int>(std::lround(w * scale));
+  const int new_h = static_cast<int>(std::lround(h * scale));
+  const int left = (new_w - size) / 2;
+  const int top = (new_h - size) / 2;
+
+  const FilterTable fx = make_filter(w, new_w, left, size);
+  const FilterTable fy = make_filter(h, new_h, top, size);
+
+  // horizontal pass: (h, w, 3) → (h, size, 3)
+  std::vector<uint8_t> mid(static_cast<size_t>(h) * size * 3);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
+    uint8_t* orow = mid.data() + static_cast<size_t>(y) * size * 3;
     for (int x = 0; x < size; ++x) {
-      const float fx = (x + off_x + 0.5f) / scale - 0.5f;
-      sample_bilinear(src, w, h, fx, fy,
-                      dst + (static_cast<size_t>(y) * size + x) * 3);
+      const double* wts = &fx.weights[static_cast<size_t>(x) * fx.ksize];
+      const int x0 = fx.xmin[x];
+      double acc[3] = {0.0, 0.0, 0.0};
+      for (int k = 0; k < fx.count[x]; ++k) {
+        const uint8_t* px = row + static_cast<size_t>(x0 + k) * 3;
+        acc[0] += wts[k] * px[0];
+        acc[1] += wts[k] * px[1];
+        acc[2] += wts[k] * px[2];
+      }
+      orow[x * 3 + 0] = clip8(acc[0]);
+      orow[x * 3 + 1] = clip8(acc[1]);
+      orow[x * 3 + 2] = clip8(acc[2]);
+    }
+  }
+  // vertical pass: (h, size, 3) → (size, size, 3)
+  for (int y = 0; y < size; ++y) {
+    const double* wts = &fy.weights[static_cast<size_t>(y) * fy.ksize];
+    const int y0 = fy.xmin[y];
+    uint8_t* orow = dst + static_cast<size_t>(y) * size * 3;
+    for (int x = 0; x < size; ++x) {
+      double acc[3] = {0.0, 0.0, 0.0};
+      for (int k = 0; k < fy.count[y]; ++k) {
+        const uint8_t* px =
+            mid.data() + (static_cast<size_t>(y0 + k) * size + x) * 3;
+        acc[0] += wts[k] * px[0];
+        acc[1] += wts[k] * px[1];
+        acc[2] += wts[k] * px[2];
+      }
+      orow[x * 3 + 0] = clip8(acc[0]);
+      orow[x * 3 + 1] = clip8(acc[1]);
+      orow[x * 3 + 2] = clip8(acc[2]);
     }
   }
 }

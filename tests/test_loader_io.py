@@ -131,6 +131,56 @@ class TestTarIO:
                                       shuffle_buffer=0)))
         assert n0 == n1 == 4
 
+    def test_pipe_shard_streams(self, tmp_path):
+        """`pipe:<cmd>` shards stream through a subprocess stdout
+        (webdataset pipe: parity, cap_dataset.py:618)."""
+        p = str(tmp_path / "a.tar")
+        self._make_shard(p, 4)
+        ds = TarShardDataset([f"pipe:cat {p}"], shuffle_buffer=0,
+                             shuffle_shards=False)
+        assert len(list(ds)) == 4
+
+    def test_pipe_failure_is_skipped(self, tmp_path):
+        """A failing pipe command behaves like a corrupt shard: warn+skip."""
+        good = str(tmp_path / "b.tar")
+        self._make_shard(good, 3)
+        ds = TarShardDataset(
+            ["pipe:false", good], shuffle_buffer=0, shuffle_shards=False)
+        assert len(list(ds)) == 3
+
+    def test_http_shard_streams(self, tmp_path):
+        """http(s):// shards stream via urllib against a local fixture
+        server (remote RS5M parity without egress)."""
+        import http.server
+        import threading
+
+        self._make_shard(str(tmp_path / "web.tar"), 5)
+
+        class Handler(http.server.SimpleHTTPRequestHandler):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, directory=str(tmp_path), **kw)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/web.tar"
+            ds = TarShardDataset([url], shuffle_buffer=0,
+                                 shuffle_shards=False)
+            samples = list(ds)
+            assert len(samples) == 5
+            # missing remote shard → skipped, not fatal
+            ds = TarShardDataset(
+                [url.replace("web.tar", "missing.tar"), url],
+                shuffle_buffer=0, shuffle_shards=False)
+            assert len(list(ds)) == 5
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
 
 class TestFallbackTokenizer:
     def test_roundtrip_and_specials(self):

@@ -131,3 +131,41 @@ class TestSamplingScheduler:
         assert all(r.done for r in reqs)
         # same prompts, high temperature: some outputs should differ
         assert len({tuple(r.output_ids) for r in reqs}) > 1
+
+
+class TestMultiTokenTick:
+    def test_chunk_matches_single_step(self, setup):
+        """tokens_per_tick=8 must be token-for-token identical to
+        tokens_per_tick=1 (in-scan EOS/budget freezing is exact)."""
+        cfg, params, engine, _ = setup
+        rng = np.random.default_rng(5)
+        prompts = [rng.integers(3, 200, size=(n,)).astype(np.int32)
+                   for n in (5, 9, 7, 11)]
+
+        def run(k):
+            sched = ContinuousBatchingScheduler(
+                cfg, params, engine.llama_params, max_batch=3,
+                max_seq_len=96, compute_dtype=jnp.float32,
+                cache_dtype=jnp.float32, tokens_per_tick=k,
+                eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16)
+            reqs = [Request(uid=i, input_ids=p, max_new_tokens=3 + 2 * i)
+                    for i, p in enumerate(prompts)]
+            sched.run(reqs)
+            return [list(r.output_ids) for r in reqs]
+
+        assert run(1) == run(8)
+
+    def test_budget_respected_mid_chunk(self, setup):
+        """A 1-token budget inside an 8-token chunk must emit exactly one
+        token (the scan freezes the slot after the budget hits zero)."""
+        cfg, params, engine, _ = setup
+        sched = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=2, max_seq_len=96,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+            tokens_per_tick=8, eos_token_id=cfg.llama.eos_token_id,
+            prompt_bucket=16)
+        req = Request(uid=1, input_ids=np.full((5,), 7, np.int32),
+                      max_new_tokens=1)
+        sched.run([req])
+        assert req.done
+        assert len(req.output_ids) <= 1
