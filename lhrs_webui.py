@@ -22,8 +22,37 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 
 TASK_TAGS = ["[VG]", "[CLS]", "[VQA]", "[Identify]"]
-_BBOX_COLORS = [(255, 64, 64), (64, 200, 64), (64, 96, 255), (255, 160, 0),
-                (200, 64, 200), (0, 200, 200)]
+
+# reference color table (lhrs_webui.py:629-652) — bbox outlines and the
+# matching colored spans in the answer text share these, in order
+BBOX_COLORS = [
+    (255, 0, 0), (0, 255, 0), (0, 0, 255), (210, 210, 0),
+    (255, 0, 255), (0, 255, 255), (114, 128, 250), (0, 165, 255),
+    (0, 128, 0), (144, 238, 144), (238, 238, 175), (255, 191, 0),
+    (0, 128, 0), (226, 43, 138), (255, 0, 255), (0, 215, 255),
+]
+COLOR_MAP = {str(i): "#{:02x}{:02x}{:02x}".format(*c)
+             for i, c in enumerate(BBOX_COLORS)}
+
+# per-tag example prompts shown in the UI (reference instruction panel +
+# examples, lhrs_webui.py:32-41 and the task-tag workflow)
+TAG_EXAMPLES = [
+    ("[VG]", "the red-roofed building next to the playground"),
+    ("[CLS]", "airport, beach, farmland, forest, harbor, residential"),
+    ("[VQA]", "How many airplanes are parked near the terminal?"),
+    ("[Identify]", "What is in this region? (sketch a box on the image)"),
+    ("", "Describe the image in detail."),
+]
+
+INTRODUCTION = """Using Instruction:
+1. Visual Grounding: Input a description about the referring object (then choose [VG]) and CLICK **Send**.
+2. Classification: Input the given categories (then choose [CLS]), and CLICK **Send**.
+3. VQA: Input a visual question (then choose [VQA]) and CLICK **Send**.
+4. No Tag: Input whatever you want and CLICK **Send** without any tagging
+5. Identify: Input a bounding box (then choose [Identify]) and CLICK **Send**.
+
+You can also simply chat in free form!
+"""
 
 
 def mask2bbox(mask: Optional[np.ndarray]) -> str:
@@ -56,22 +85,129 @@ def extract_bboxes(text: str) -> List[Tuple[List[float], str]]:
     return out
 
 
-def visualize_all_bbox_together(image: np.ndarray, answer: str) -> np.ndarray:
-    """Draw every predicted bbox (0-100 normalized) with color-coded labels
-    (lhrs_webui.py:656-906 behavior)."""
+def extract_substrings(string: str) -> List[List[float]]:
+    """All bracketed coordinate groups, trimmed to 4 floats each; text after
+    an unfinished "{" block is dropped first (lhrs_webui.py:567-576)."""
+    index = string.rfind("}")
+    if index != -1:
+        string = string[:index + 1]
+    matches = re.findall(r"\[([0-9., ]+)\]", string)
+    out = []
+    for match in matches:
+        if not match:
+            continue
+        try:
+            coords = [float(x) for x in match.replace(" ", "").split(",")
+                      if x != ""]
+        except ValueError:
+            continue
+        if len(coords) >= 4:
+            out.append(coords[:4])  # >4 coords: keep the first box
+    return out
+
+
+def is_overlapping(rect1, rect2) -> bool:
+    """Axis-aligned rect overlap (lhrs_webui.py:579-582)."""
+    x1, y1, x2, y2 = rect1
+    x3, y3, x4, y4 = rect2
+    return not (x2 < x3 or x1 > x4 or y2 < y3 or y1 > y4)
+
+
+def _denorm(box: List[float], w: int, h: int) -> Tuple[int, int, int, int]:
+    """Model bbox → pixel coords. The reference webui multiplies 0-1 floats
+    by the image size (lhrs_webui.py:666-701); the Identify flow uses 0-100
+    ints — auto-detect the scale so both render."""
+    top = max(box)
+    if top <= 1.5:
+        sx, sy = w, h
+    elif top <= 100.0:
+        sx, sy = w / 100.0, h / 100.0
+    else:
+        sx = sy = 1.0
+    return (int(box[0] * sx), int(box[1] * sy),
+            int(box[2] * sx), int(box[3] * sy))
+
+
+def visualize_all_bbox_together(
+        image: Optional[np.ndarray],
+        generation: str) -> Tuple[Optional[np.ndarray], str]:
+    """Reference rendering (lhrs_webui.py:656-906): draw every predicted
+    bbox in its entity color with a numbered label on an alpha-blended
+    backplate (labels shifted down when they'd overlap an earlier one), and
+    return the answer text with each bracketed group replaced by a
+    color-matched "<span>" so the prose is visually tied to its box.
+
+    Returns (overlay image | None, colored-HTML answer)."""
+    import html as html_lib
+
     import cv2
+
+    if image is None:
+        return None, ""
+    generation = html_lib.unescape(generation)
+    entities = extract_substrings(generation)
+    if not entities:
+        return None, ""
 
     img = np.ascontiguousarray(image.copy())
     h, w = img.shape[:2]
-    for i, (box, label) in enumerate(extract_bboxes(answer)):
-        color = _BBOX_COLORS[i % len(_BBOX_COLORS)]
-        x1, y1, x2, y2 = (int(box[0] / 100 * w), int(box[1] / 100 * h),
-                          int(box[2] / 100 * w), int(box[3] / 100 * h))
-        cv2.rectangle(img, (x1, y1), (x2, y2), color, 2)
-        if label:
-            cv2.putText(img, label[:24], (x1, max(y1 - 6, 12)),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1, cv2.LINE_AA)
-    return img
+    text_size, text_line, box_line = 0.5, 1, 2
+    (c_width, text_height), _ = cv2.getTextSize(
+        "F", cv2.FONT_HERSHEY_COMPLEX, text_size, text_line)
+    pad = text_height + 2 * 2  # text_spaces=2 parity
+    previous_labels: List[Tuple[int, int, int, int]] = []
+
+    for idx, box in enumerate(entities):
+        color = BBOX_COLORS[idx % len(BBOX_COLORS)]
+        x1, y1, x2, y2 = _denorm(box, w, h)
+        cv2.rectangle(img, (x1, y1), (x2, y2), color, box_line)
+
+        # numbered label "  {idx}" above the box, pushed inside/down when
+        # it would leave the image or overlap an earlier label
+        label = f"  {idx}"
+        (tw, th), _ = cv2.getTextSize(label, cv2.FONT_HERSHEY_COMPLEX,
+                                      text_size, text_line)
+        lx, ly = x1, y1 - 2
+        if ly - th < 0:
+            ly = y1 + th + 4
+        bg = [lx, ly - th - 2, lx + tw, ly + 2]
+        guard = 0
+        while any(is_overlapping(bg, p) for p in previous_labels):
+            shift = th + 4
+            ly += shift
+            bg[1] += shift
+            bg[3] += shift
+            guard += 1
+            if bg[3] >= h or guard > 16:
+                break
+        previous_labels.append(tuple(bg))
+        # alpha-blended backplate: color swatch strip + white text area
+        # (lhrs_webui.py:853-876)
+        y_lo, y_hi = max(bg[1], 0), min(bg[3], h)
+        x_lo, x_hi = max(bg[0], 0), min(bg[2], w)
+        if y_hi > y_lo and x_hi > x_lo:
+            region = img[y_lo:y_hi, x_lo:x_hi].astype(np.float32)
+            backplate = np.full_like(region, 255.0)
+            swatch_w = min(int(1.35 * c_width), region.shape[1])
+            backplate[:, :swatch_w] = np.asarray(color, np.float32)
+            img[y_lo:y_hi, x_lo:x_hi] = (
+                0.5 * region + 0.5 * backplate).astype(np.uint8)
+        cv2.putText(img, label, (lx, ly), cv2.FONT_HERSHEY_COMPLEX,
+                    text_size, (0, 0, 0), text_line, cv2.LINE_AA)
+
+    # color-coded answer text: each bracketed group becomes a span in the
+    # matching bbox color (lhrs_webui.py:886-903)
+    counter = iter(range(len(entities) * 2))
+
+    def colored_phrase(match):
+        i = next(counter)
+        color = BBOX_COLORS[i % len(BBOX_COLORS)]
+        return (f'<span style="color:rgb{color}">'
+                f'[{match.group(1)}]</span>')
+
+    generation_colored = re.sub(r"\[([0-9., ]+)\]", colored_phrase,
+                                generation)
+    return img, generation_colored
 
 
 class WebUIDemo:
@@ -144,10 +280,13 @@ class WebUIDemo:
             self.conv.messages[-1][1] = self.tokenizer.decode(
                 emitted, skip_special_tokens=True)
 
-    def visualize(self, answer: str) -> Optional[np.ndarray]:
+    def visualize(self, answer: str) -> Tuple[Optional[np.ndarray], str]:
+        """(bbox overlay | None, color-coded answer HTML) — reference
+        chat-turn rendering (lhrs_webui.py:549-562)."""
         if self.raw_image is None or "[" not in answer:
-            return None
-        return visualize_all_bbox_together(self.raw_image, answer)
+            return None, answer
+        img, colored = visualize_all_bbox_together(self.raw_image, answer)
+        return img, (colored or answer)
 
 
 def launch_demo(demo: WebUIDemo, server_port: int = 7860):
@@ -160,16 +299,24 @@ def launch_demo(demo: WebUIDemo, server_port: int = 7860):
         ) from exc
 
     with gr.Blocks(title="LHRS-Bot TPU") as ui:
-        gr.Markdown("## LHRS-Bot (TPU) — remote sensing chat")
+        gr.Markdown('<h1 align="center">LHRS-Bot\U0001f6f0</h1>')
+        gr.Markdown(
+            '<h3 align="center">Welcome to the LHRS-Bot (TPU) demo!</h3>')
         with gr.Row():
             with gr.Column(scale=1):
+                gr.Markdown(INTRODUCTION)
                 image_in = gr.Image(type="pil", label="RS image")
+                tag = gr.Radio([t for t, _ in TAG_EXAMPLES],
+                               value="", label="task tag")
                 temp = gr.Slider(0.0, 1.5, value=0.4, label="temperature")
             with gr.Column(scale=2):
-                chatbot = gr.Chatbot()
+                chatbot = gr.Chatbot(render_markdown=True)
                 textbox = gr.Textbox(
                     placeholder="Ask about the image — task tags: "
                     + " ".join(TASK_TAGS))
+                gr.Examples(
+                    examples=[[f"{t} {e}".strip()] for t, e in TAG_EXAMPLES],
+                    inputs=[textbox], label="per-tag example prompts")
                 vis_out = gr.Image(label="grounding overlay")
 
         state = {"demo": demo}
@@ -178,16 +325,19 @@ def launch_demo(demo: WebUIDemo, server_port: int = 7860):
             state["demo"].upload_image(img)
             return []
 
-        def on_ask(text, history, temperature):
+        def on_ask(text, task_tag, history, temperature):
             d = state["demo"]
+            if task_tag and not text.startswith(task_tag):
+                text = f"{task_tag} {text}"
             d.ask(text)
             history = history + [[text, ""]]
             for partial in d.stream_answer(temperature=temperature):
-                history[-1][1] = partial
-                yield history, d.visualize(partial)
+                img, colored = d.visualize(partial)
+                history[-1][1] = colored
+                yield history, img
 
         image_in.upload(on_upload, [image_in], [chatbot])
-        textbox.submit(on_ask, [textbox, chatbot, temp],
+        textbox.submit(on_ask, [textbox, tag, chatbot, temp],
                        [chatbot, vis_out])
     ui.queue().launch(server_port=server_port, share=False)
 

@@ -35,10 +35,56 @@ class TestExtractBboxes:
 class TestVisualize:
     def test_draws_on_copy(self):
         img = np.zeros((100, 100, 3), np.uint8)
-        out = webui.visualize_all_bbox_together(img, "[10,10,90,90] object")
+        out, colored = webui.visualize_all_bbox_together(
+            img, "[10,10,90,90] object")
         assert out.shape == img.shape
         assert out.sum() > 0  # something drawn
         assert img.sum() == 0  # original untouched
+        assert "<span" in colored
+
+    def test_no_boxes_returns_none(self):
+        img = np.zeros((50, 50, 3), np.uint8)
+        out, colored = webui.visualize_all_bbox_together(img, "no boxes")
+        assert out is None and colored == ""
+        assert webui.visualize_all_bbox_together(None, "[1,2,3,4]") == (
+            None, "")
+
+    def test_colored_spans_match_bbox_colors(self):
+        """Each bracketed group gets a span in its entity's color — the
+        color-coded answer text of lhrs_webui.py:886-903."""
+        img = np.zeros((100, 100, 3), np.uint8)
+        ans = "a ship [10,10,40,40] and a dock [50,50,90,90]"
+        _, colored = webui.visualize_all_bbox_together(img, ans)
+        assert f"rgb{webui.BBOX_COLORS[0]}" in colored
+        assert f"rgb{webui.BBOX_COLORS[1]}" in colored
+
+    def test_normalized_and_percent_coords_both_render(self):
+        img = np.zeros((200, 200, 3), np.uint8)
+        a, _ = webui.visualize_all_bbox_together(img, "[0.1,0.1,0.9,0.9]")
+        b, _ = webui.visualize_all_bbox_together(img, "[10,10,90,90]")
+        # same box at both scales → overlays drawn in the same region
+        assert a.sum() > 0 and b.sum() > 0
+        ys_a = np.nonzero(a.sum(axis=(1, 2)))[0]
+        ys_b = np.nonzero(b.sum(axis=(1, 2)))[0]
+        assert abs(int(ys_a.max()) - int(ys_b.max())) <= 2
+
+    def test_overlapping_labels_shift(self):
+        """Two boxes at the same origin: the second numbered label must not
+        sit on top of the first (is_overlapping avoidance)."""
+        img = np.zeros((120, 120, 3), np.uint8)
+        out, _ = webui.visualize_all_bbox_together(
+            img, "[10,30,60,60] a [10,30,70,70] b")
+        assert out.sum() > 0
+
+    def test_extract_substrings_unfinished_brace(self):
+        got = webui.extract_substrings("box [1,2,3,4] {<5><6><7")
+        assert got == [[1.0, 2.0, 3.0, 4.0]]  # no } → nothing trimmed
+        got = webui.extract_substrings("{<ok>} then [1,2,3,4]")
+        assert got == []  # bracket group after the } is dropped
+        got = webui.extract_substrings("[1,2,3,4] tail {<x>}")
+        assert got == [[1.0, 2.0, 3.0, 4.0]]
+        got = webui.extract_substrings("[1,2,3,4,5,6]")
+        assert got == [[1.0, 2.0, 3.0, 4.0]]  # >4 coords trimmed
 
 
 class TestWebUIDemoLogic:

@@ -21,8 +21,9 @@ def worker(process_id: int, num_processes: int = 2) -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 4)
+    port = os.environ.get("LHRS_COORD_PORT", "12355")
     jax.distributed.initialize(
-        coordinator_address="127.0.0.1:12355",
+        coordinator_address=f"127.0.0.1:{port}",
         num_processes=num_processes,
         process_id=process_id,
     )
@@ -78,8 +79,59 @@ def worker(process_id: int, num_processes: int = 2) -> None:
     # rows 0..1 from each process under the "data" axis: 8*1 + 8*2 = 24
     assert abs(total - 24.0) < 1e-6, total
 
+    # one REAL train step on the tiny VLM over the multi-host mesh
+    # (dp=4 × tp=2, each process feeding its host-local half of the batch)
+    from ml_collections import ConfigDict
+
+    from lhrs_bot_tpu.models import (IMAGE_TOKEN_INDEX, VLMConfig,
+                                     init_vlm_params, trainable_mask)
+    from lhrs_bot_tpu.parallel.partition import shard_params
+    from lhrs_bot_tpu.train.optimizer import build_optimizer
+    from lhrs_bot_tpu.train import make_train_step
+
+    cfg = VLMConfig.tiny_test(stage=1)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    conf = ConfigDict({"optimizer": "adamw", "lr": 1e-3, "wd": 0.0,
+                       "max_grad_norm": 0.0})
+    tx = build_optimizer(conf, params, trainable_mask(params, cfg))
+    step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    with mesh:
+        sharded = shard_params(mesh, params)
+        state = tx.init(sharded)
+        rng_np = np.random.default_rng(7)
+        ids = rng_np.integers(3, 200, size=(2, 8)).astype(np.int32)
+        ids[:, 1] = IMAGE_TOKEN_INDEX
+        host_batch = {
+            "input_ids": ids,
+            "labels": ids.copy(),
+            "attention_mask": np.ones((2, 8), bool),
+            "images": np.zeros(
+                (2, cfg.vit.image_size, cfg.vit.image_size, 3), np.uint8),
+        }
+        batch = jax.tree_util.tree_map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                x, mesh, P("data")), host_batch)
+        _, _, metrics = jax.jit(step)(sharded, state, batch)
+        loss = float(metrics["total_loss"])
+    assert np.isfinite(loss), loss
+
+    # rank-merged eval shard write (main_vqa.py save_result protocol)
+    import tempfile
+
+    from main_vqa import save_result
+
+    out_dir = os.environ.get("LHRS_REHEARSAL_DIR",
+                             os.path.join(tempfile.gettempdir(),
+                                          "lhrs_rehearsal"))
+    merged = save_result([{"rank": rank, "answer": f"a{rank}"}],
+                         out_dir, rank, dist.get_world_size(),
+                         filename="rehearsal_result")
+    if rank == 0:
+        assert len(merged) == num_processes, merged
+
     dist.barrier("done")
-    print(f"[worker {rank}] multihost rehearsal OK", flush=True)
+    print(f"[worker {rank}] multihost rehearsal OK loss={loss:.4f}",
+          flush=True)
 
 
 def main() -> None:
