@@ -37,6 +37,10 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
+// Truncated JPEGs etc. emit warnings via output_message — swallow them
+// (the caller gets the ok-mask; a 5M-sample stream must not spam stderr).
+void jpeg_silent_output(j_common_ptr) {}
+
 // Decode a JPEG buffer to RGB. Returns true on success.
 bool decode_jpeg(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
                  int* width, int* height) {
@@ -44,6 +48,7 @@ bool decode_jpeg(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
+  jerr.pub.output_message = jpeg_silent_output;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
     return false;
@@ -90,10 +95,14 @@ inline double cubic_filter(double x) {
 
 // Per-output-pixel filter window over one source axis, composed with a crop
 // offset: output index i samples resized coordinate (crop_off + i).
+// Weights are Pillow-style int32 fixed point (PRECISION_BITS) so the hot
+// loops are integer MACs, matching PIL output bit-for-bit in practice.
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
 struct FilterTable {
-  std::vector<int> xmin;                  // first source index per output
-  std::vector<int> count;                 // taps per output
-  std::vector<double> weights;            // ksize taps per output (padded)
+  std::vector<int> xmin;              // first source index per output
+  std::vector<int> count;             // taps per output
+  std::vector<int32_t> weights;       // ksize taps per output (padded)
   int ksize = 0;
 };
 
@@ -106,36 +115,39 @@ FilterTable make_filter(int in_size, int out_size, int crop_off,
   ft.ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
   ft.xmin.resize(crop_size);
   ft.count.resize(crop_size);
-  ft.weights.assign(static_cast<size_t>(crop_size) * ft.ksize, 0.0);
+  ft.weights.assign(static_cast<size_t>(crop_size) * ft.ksize, 0);
+  std::vector<double> wbuf(ft.ksize);
   for (int i = 0; i < crop_size; ++i) {
     const double center = (crop_off + i + 0.5) * scale;
     int x0 = static_cast<int>(center - support + 0.5);
     int x1 = static_cast<int>(center + support + 0.5);
     x0 = std::max(x0, 0);
     x1 = std::min(x1, in_size);
-    double* w = &ft.weights[static_cast<size_t>(i) * ft.ksize];
     double total = 0.0;
     for (int x = x0; x < x1; ++x) {
-      const double v = cubic_filter((x - center + 0.5) / filterscale);
-      w[x - x0] = v;
-      total += v;
+      wbuf[x - x0] = cubic_filter((x - center + 0.5) / filterscale);
+      total += wbuf[x - x0];
     }
-    if (total != 0.0)
-      for (int x = 0; x < x1 - x0; ++x) w[x] /= total;
+    int32_t* w = &ft.weights[static_cast<size_t>(i) * ft.ksize];
+    for (int x = 0; x < x1 - x0; ++x) {
+      const double v = total != 0.0 ? wbuf[x] / total : 0.0;
+      w[x] = static_cast<int32_t>(
+          std::lround(v * (1 << kPrecisionBits)));
+    }
     ft.xmin[i] = x0;
     ft.count[i] = x1 - x0;
   }
   return ft;
 }
 
-inline uint8_t clip8(double v) {
-  return static_cast<uint8_t>(
-      std::lround(std::min(std::max(v, 0.0), 255.0)));
+inline uint8_t clip8(int64_t v) {
+  v >>= kPrecisionBits;
+  return static_cast<uint8_t>(std::min<int64_t>(std::max<int64_t>(v, 0), 255));
 }
 
 // Shortest-edge bicubic resize to `size`, then center crop size x size
 // (clip_preprocess_uint8 geometry). The horizontal pass only produces the
-// cropped column window; the vertical pass only the cropped rows.
+// cropped column window and only the source rows the vertical pass reads.
 void resize_center_crop(const uint8_t* src, int w, int h, int size,
                         uint8_t* dst) {
   const double scale = static_cast<double>(size) / std::min(w, h);
@@ -147,44 +159,49 @@ void resize_center_crop(const uint8_t* src, int w, int h, int size,
   const FilterTable fx = make_filter(w, new_w, left, size);
   const FilterTable fy = make_filter(h, new_h, top, size);
 
-  // horizontal pass: (h, w, 3) → (h, size, 3)
-  std::vector<uint8_t> mid(static_cast<size_t>(h) * size * 3);
-  for (int y = 0; y < h; ++y) {
-    const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
+  // the vertical pass only reads source rows [row_lo, row_hi)
+  int row_lo = h, row_hi = 0;
+  for (int y = 0; y < size; ++y) {
+    row_lo = std::min(row_lo, fy.xmin[y]);
+    row_hi = std::max(row_hi, fy.xmin[y] + fy.count[y]);
+  }
+  const int rows = row_hi - row_lo;
+  const int64_t half = 1LL << (kPrecisionBits - 1);
+
+  // horizontal pass: (rows, w, 3) -> (rows, size, 3)
+  std::vector<uint8_t> mid(static_cast<size_t>(rows) * size * 3);
+  for (int y = 0; y < rows; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y + row_lo) * w * 3;
     uint8_t* orow = mid.data() + static_cast<size_t>(y) * size * 3;
     for (int x = 0; x < size; ++x) {
-      const double* wts = &fx.weights[static_cast<size_t>(x) * fx.ksize];
-      const int x0 = fx.xmin[x];
-      double acc[3] = {0.0, 0.0, 0.0};
-      for (int k = 0; k < fx.count[x]; ++k) {
-        const uint8_t* px = row + static_cast<size_t>(x0 + k) * 3;
-        acc[0] += wts[k] * px[0];
-        acc[1] += wts[k] * px[1];
-        acc[2] += wts[k] * px[2];
+      const int32_t* wts = &fx.weights[static_cast<size_t>(x) * fx.ksize];
+      const uint8_t* px = row + static_cast<size_t>(fx.xmin[x]) * 3;
+      int64_t a0 = half, a1 = half, a2 = half;
+      for (int k = 0; k < fx.count[x]; ++k, px += 3) {
+        a0 += static_cast<int64_t>(wts[k]) * px[0];
+        a1 += static_cast<int64_t>(wts[k]) * px[1];
+        a2 += static_cast<int64_t>(wts[k]) * px[2];
       }
-      orow[x * 3 + 0] = clip8(acc[0]);
-      orow[x * 3 + 1] = clip8(acc[1]);
-      orow[x * 3 + 2] = clip8(acc[2]);
+      orow[x * 3 + 0] = clip8(a0);
+      orow[x * 3 + 1] = clip8(a1);
+      orow[x * 3 + 2] = clip8(a2);
     }
   }
-  // vertical pass: (h, size, 3) → (size, size, 3)
+  // vertical pass: (rows, size, 3) -> (size, size, 3)
+  const int row_px = size * 3;
+  std::vector<int64_t> acc(row_px);
   for (int y = 0; y < size; ++y) {
-    const double* wts = &fy.weights[static_cast<size_t>(y) * fy.ksize];
-    const int y0 = fy.xmin[y];
-    uint8_t* orow = dst + static_cast<size_t>(y) * size * 3;
-    for (int x = 0; x < size; ++x) {
-      double acc[3] = {0.0, 0.0, 0.0};
-      for (int k = 0; k < fy.count[y]; ++k) {
-        const uint8_t* px =
-            mid.data() + (static_cast<size_t>(y0 + k) * size + x) * 3;
-        acc[0] += wts[k] * px[0];
-        acc[1] += wts[k] * px[1];
-        acc[2] += wts[k] * px[2];
-      }
-      orow[x * 3 + 0] = clip8(acc[0]);
-      orow[x * 3 + 1] = clip8(acc[1]);
-      orow[x * 3 + 2] = clip8(acc[2]);
+    const int32_t* wts = &fy.weights[static_cast<size_t>(y) * fy.ksize];
+    const int y0 = fy.xmin[y] - row_lo;
+    std::fill(acc.begin(), acc.end(), half);
+    for (int k = 0; k < fy.count[y]; ++k) {
+      const int64_t wk = wts[k];
+      const uint8_t* mrow =
+          mid.data() + static_cast<size_t>(y0 + k) * row_px;
+      for (int j = 0; j < row_px; ++j) acc[j] += wk * mrow[j];
     }
+    uint8_t* orow = dst + static_cast<size_t>(y) * row_px;
+    for (int j = 0; j < row_px; ++j) orow[j] = clip8(acc[j]);
   }
 }
 
