@@ -1,0 +1,147 @@
+"""Serving latency benchmark: cold-start-to-first-token + steady-state
+aggregate tok/s through the continuous-batching scheduler at 7B int8.
+
+VERDICT r1 item 6 "done" bar. Measures, on one chip:
+  * compile_s      — cold-start cost of the prefill + decode-tick programs
+                     (what GenerationEngine.warmup amortizes at startup);
+  * ttft_s         — admission-to-first-token for a full 8-slot batch of
+                     256-token prompts AFTER warmup (one prefill dispatch);
+  * steady tok/s   — aggregate decode throughput over all slots, for
+                     tokens_per_tick in {1, 8}: the multi-token tick's
+                     whole purpose is amortizing the ~20-40 ms remote
+                     per-dispatch latency k-fold (scheduler.py:_tick).
+
+Workload is text-only (decode-bound — image prefill throughput is
+bench.py's prefill metric). Prints one JSON line.
+
+Run: python benchmarks/serving_bench.py [--slots 8] [--new-tokens 96]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_llama_params():
+    """Random 7B-shape int8 decode params, created on-device (bench.py
+    pattern — no 27 GB host init)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lhrs_bot_tpu.models.llama import LlamaConfig
+    from lhrs_bot_tpu.ops.quant import quantize_int8
+
+    cfg = LlamaConfig.llama2_7b()
+
+    def qinit(key, shape):
+        f = jax.jit(lambda k: quantize_int8(
+            jax.random.normal(k, shape, jnp.bfloat16) * 0.02, axis=1))
+        out = f(key)
+        jax.block_until_ready(out.q)
+        return out
+
+    d, ffn, L, V = (cfg.hidden_size, cfg.intermediate_size,
+                    cfg.num_hidden_layers, cfg.vocab_size)
+    keys = jax.random.split(jax.random.PRNGKey(0), 10)
+    params = {
+        "embed_tokens": jax.random.normal(keys[0], (V, d),
+                                          jnp.bfloat16) * 0.02,
+        "layers": {
+            "input_norm": jnp.ones((L, d), jnp.bfloat16),
+            "wq": qinit(keys[1], (L, d, d)),
+            "wk": qinit(keys[2], (L, d, d)),
+            "wv": qinit(keys[3], (L, d, d)),
+            "wo": qinit(keys[4], (L, d, d)),
+            "post_attn_norm": jnp.ones((L, d), jnp.bfloat16),
+            "w_gate": qinit(keys[5], (L, d, ffn)),
+            "w_up": qinit(keys[6], (L, d, ffn)),
+            "w_down": qinit(keys[7], (L, ffn, d)),
+        },
+        "final_norm": jnp.ones((d,), jnp.bfloat16),
+        "lm_head": jax.random.normal(keys[8], (d, V), jnp.bfloat16) * 0.02,
+    }
+    return cfg, params
+
+
+def run_schedule(sched, reqs):
+    """Admit + tick to completion; returns (ttft_s, steady_tok_s)."""
+    t0 = time.perf_counter()
+    n = sched.admit(reqs)
+    assert n == len(reqs), (n, len(reqs))
+    ttft = time.perf_counter() - t0  # prefill dispatch + first host token
+
+    t0 = time.perf_counter()
+    while sched.step():
+        pass
+    dt = time.perf_counter() - t0
+    toks = sum(len(r.output_ids) for r in reqs) - len(reqs)  # minus firsts
+    return ttft, toks / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--prompt-len", type=int, default=256)
+    ap.add_argument("--new-tokens", type=int, default=96)
+    ap.add_argument("--max-seq-len", type=int, default=640)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from lhrs_bot_tpu.models.vlm import VLMConfig
+    from lhrs_bot_tpu.serve.engine import GenerationConfig
+    from lhrs_bot_tpu.serve.scheduler import (ContinuousBatchingScheduler,
+                                              Request)
+
+    llama_cfg, llama_params = build_llama_params()
+    cfg = VLMConfig(stage=0)  # cfg.llama defaults to llama2_7b
+    assert cfg.llama.hidden_size == llama_cfg.hidden_size
+    rng = np.random.default_rng(0)
+
+    def make_reqs():
+        return [Request(
+            uid=i,
+            input_ids=rng.integers(3, 30000,
+                                   size=(args.prompt_len,)).astype(np.int32),
+            max_new_tokens=args.new_tokens) for i in range(args.slots)]
+
+    gen_cfg = GenerationConfig(eos_token_id=-1, pad_token_id=0)
+    report = {"slots": args.slots, "prompt_len": args.prompt_len,
+              "new_tokens": args.new_tokens}
+
+    results = {}
+    for k in (1, 8):
+        sched = ContinuousBatchingScheduler(
+            cfg, {}, llama_params, max_batch=args.slots,
+            max_seq_len=args.max_seq_len, tokens_per_tick=k,
+            gen_cfg=gen_cfg, prompt_bucket=64)
+        # cold start: first admit+drain compiles prefill + tick programs
+        t0 = time.perf_counter()
+        run_schedule(sched, make_reqs())
+        results[f"compile_s_k{k}"] = round(time.perf_counter() - t0, 1)
+        # warm steady-state
+        ttft, tok_s = run_schedule(sched, make_reqs())
+        results[f"ttft_s_k{k}"] = round(ttft, 3)
+        results[f"steady_tok_s_k{k}"] = round(tok_s, 1)
+        del sched
+
+    report.update(results)
+    speedup = (results.get("steady_tok_s_k8", 0.0)
+               / max(results.get("steady_tok_s_k1", 1e-9), 1e-9))
+    print(json.dumps({
+        "metric": "serving_aggregate_decode_tok_s",
+        "value": results.get("steady_tok_s_k8"),
+        "unit": "tok/s (8 slots, 7B int8, multi-token ticks k=8)",
+        "tick_amortization_speedup": round(speedup, 2),
+        "extra": report,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -339,7 +339,12 @@ def llama_decode_step(
     XLA to copy every layer's full cache slice per step, which dominated
     decode at long context (decode is HBM-bandwidth-bound)."""
     if use_fused is None:
-        use_fused = jax.default_backend() == "tpu"
+        # the fused kernel's layouts need a lane-multiple head_dim and a
+        # sublane-aligned cache; tiny/test shapes (head_dim 16) fail Mosaic
+        # layout inference — dispatch those to the select-based XLA path
+        use_fused = (jax.default_backend() == "tpu"
+                     and cfg.head_dim % 128 == 0
+                     and cache.k.shape[3] % 16 == 0)
     x = inputs_embeds.astype(compute_dtype)
     b = x.shape[0]
     positions = cache.length[:, None]  # (B, 1)

@@ -190,6 +190,7 @@ def vit_encode_fused(
     cfg: ViTConfig,
     *,
     interpret: bool = False,
+    group: int = 1,  # images per kernel token-group (see ops/vit_block.py)
 ) -> jnp.ndarray:
     """Multi-level encode through the fused W8A8 Pallas block kernel
     (ops/vit_block.py). `packed_layers` comes from pack_vit_layers_fused.
@@ -208,7 +209,7 @@ def vit_encode_fused(
     def body(carry, lp):
         out = fused_vit_block(
             carry, lp, heads=cfg.heads, s_valid=s, ln_eps=cfg.ln_eps,
-            quick_gelu=cfg.quick_gelu, interpret=interpret)
+            quick_gelu=cfg.quick_gelu, interpret=interpret, group=group)
         return out, None
 
     taps = []

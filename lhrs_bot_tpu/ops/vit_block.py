@@ -81,6 +81,92 @@ def _vit_block_kernel(
             quick_gelu=quick_gelu, sm_scale=sm_scale)
 
 
+def _vit_block_grouped_kernel(
+    x_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
+    ln2s_ref, ln2b_ref, wfc_ref, sfc_ref, bfc_ref, wpj_ref, spj_ref, bpj_ref,
+    o_ref,
+    *, heads: int, s_img: int, s_valid: int, ln_eps: float, quick_gelu: bool,
+    sm_scale: float,
+):
+    """Like _vit_block_one, but the block carries `group` images
+    CONCATENATED along the token axis ((g·S_pad, W)): every matmul, LN and
+    quantization runs once over all g·S tokens (bigger MXU N, one
+    dependency chain per LAYER instead of per image), while attention stays
+    per-(image, head) on static column slices of the transposed QKV."""
+    x = x_ref[0]  # (g*S_pad, W) bf16
+    gs, w = x.shape
+    d = w // heads
+    group = gs // s_img
+
+    # ---- attention half -----------------------------------------------------
+    h = _ln_f32(x.astype(jnp.float32), ln1s_ref, ln1b_ref, ln_eps)
+    hq, hs = _quant_act(h)  # (gS, W) int8, (gS, 1)
+    acc = jax.lax.dot_general(
+        wqkv_ref[...], hq,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)  # (3W, gS)
+    hs_t = jnp.transpose(hs)  # (1, gS)
+    # bf16 is enough for attention inputs (heads cast to bf16 anyway);
+    # halves the VMEM/VPU footprint of the (3W, gS) tensor
+    qkv_t = ((acc.astype(jnp.float32) * sqkv_ref[...]) * hs_t
+             + bqkv_ref[...]).astype(jnp.bfloat16)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_img, s_img), 1)
+    kv_mask = col < s_valid
+    img_outs = []
+    for img in range(group):
+        lo = img * s_img
+        head_outs = []
+        for hd in range(heads):
+            q_h = (qkv_t[hd * d:(hd + 1) * d, lo:lo + s_img]
+                   .astype(jnp.float32) * sm_scale).astype(jnp.bfloat16)
+            k_h = qkv_t[w + hd * d:w + (hd + 1) * d, lo:lo + s_img]
+            v_h = qkv_t[2 * w + hd * d:2 * w + (hd + 1) * d, lo:lo + s_img]
+            scores = jax.lax.dot_general(
+                q_h, k_h, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (S_q, S_k)
+            scores = jnp.where(kv_mask, scores, _NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+            out_h = jax.lax.dot_general(
+                v_h, probs, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (d, S_q)
+            head_outs.append(out_h)
+        img_outs.append(jnp.concatenate(head_outs, axis=0))  # (W, S)
+    attn_t = jnp.concatenate(img_outs, axis=1)  # (W, gS) f32
+
+    # O projection from the transposed layout (contract sublanes, native)
+    amax = jnp.max(jnp.abs(attn_t), axis=0, keepdims=True)  # (1, gS)
+    a_s = jnp.where(amax == 0, 1.0, amax / 127.0)
+    a_q = jnp.clip(jnp.round(attn_t / a_s), -127, 127).astype(jnp.int8)
+    acc_o = jax.lax.dot_general(
+        a_q, wo_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # (gS, W)
+    o = (acc_o.astype(jnp.float32) * jnp.transpose(a_s)
+         * so_ref[0][None] + bo_ref[0][None])
+    x1 = x.astype(jnp.float32) + o
+
+    # ---- MLP half (normal orientation) --------------------------------------
+    h2 = _ln_f32(x1, ln2s_ref, ln2b_ref, ln_eps)
+    h2q, h2s = _quant_act(h2)
+    acc_fc = jax.lax.dot_general(
+        h2q, wfc_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    fc = acc_fc.astype(jnp.float32) * h2s * sfc_ref[0][None] + bfc_ref[0][None]
+    if quick_gelu:
+        fc = fc * jax.nn.sigmoid(1.702 * fc)
+    else:
+        fc = jax.nn.gelu(fc, approximate=False)
+    fq, fs = _quant_act(fc)
+    acc_pj = jax.lax.dot_general(
+        fq, wpj_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    x2 = x1 + (acc_pj.astype(jnp.float32) * fs * spj_ref[0][None]
+               + bpj_ref[0][None])
+
+    o_ref[0] = x2.astype(o_ref.dtype)
+
+
 def _vit_block_one(
     x_ref, img,
     ln1s_ref, ln1b_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
@@ -173,11 +259,52 @@ def fused_vit_block(
     interpret: bool = False,
     vmem_limit: int = 110 * 1024 * 1024,
     img_tile: int = 1,  # >1 measured slower on v5e (919 vs 1007 img/s)
+    group: int = 1,  # >1: images concatenated along tokens (one matmul
+                     # chain over g*S rows; attention stays per-image)
 ) -> jnp.ndarray:
     b, s_pad, w = x.shape
     sm_scale = (w // heads) ** -0.5
     while b % img_tile:
         img_tile //= 2
+    if group > 1:
+        # concatenate `group` images along the token axis: one LN/quant/
+        # matmul chain per layer covers g·S tokens (a free reshape — the
+        # (B, S, W) buffer layout is unchanged)
+        while b % group:
+            group //= 2
+        x = x.reshape(b // group, group * s_pad, w)
+        kernel = functools.partial(
+            _vit_block_grouped_kernel, heads=heads, s_img=s_pad,
+            s_valid=s_valid, ln_eps=ln_eps, quick_gelu=quick_gelu,
+            sm_scale=sm_scale)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b // group,),
+            in_specs=[
+                pl.BlockSpec((1, group * s_pad, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                _full_vmem(), _full_vmem(),
+                _full_vmem(), _full_vmem(), _full_vmem(),
+                _full_vmem(), _full_vmem(), _full_vmem(),
+                _full_vmem(), _full_vmem(),
+                _full_vmem(), _full_vmem(), _full_vmem(),
+                _full_vmem(), _full_vmem(), _full_vmem(),
+            ],
+            out_specs=pl.BlockSpec((1, group * s_pad, w),
+                                   lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit),
+            interpret=interpret,
+        )(x,
+          lp["ln1_scale"], lp["ln1_bias"],
+          lp["wqkv"], lp["sqkv"], lp["bqkv"],
+          lp["wo"], lp["so"], lp["bo"],
+          lp["ln2_scale"], lp["ln2_bias"],
+          lp["w_fc"], lp["s_fc"], lp["b_fc"],
+          lp["w_proj"], lp["s_proj"], lp["b_proj"])
+        return out.reshape(b, s_pad, w)
     kernel = functools.partial(
         _vit_block_kernel, heads=heads, s_valid=s_valid, ln_eps=ln_eps,
         quick_gelu=quick_gelu, sm_scale=sm_scale)

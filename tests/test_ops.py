@@ -351,6 +351,34 @@ class TestFusedViTBlock:
         rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
         assert rel < 0.02, rel
 
+    def test_grouped_matches_ungrouped(self):
+        """group>1 (images concatenated along tokens) must match group=1
+        exactly up to int8 quant noise of identical inputs."""
+        from lhrs_bot_tpu.models.vit import ViTConfig, init_vit_params
+        from lhrs_bot_tpu.ops.vit_block import (
+            fused_vit_block, pack_vit_layers_fused)
+
+        cfg = ViTConfig(image_size=28, patch_size=14, width=128, layers=1,
+                        heads=2, extract_stages=(1,))
+        params = init_vit_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(4, cfg.seq_len, cfg.width)) * 0.5,
+                        jnp.bfloat16)
+        s_pad = -(-cfg.seq_len // 16) * 16
+        xp = jnp.pad(x, ((0, 0), (0, s_pad - cfg.seq_len), (0, 0)))
+        lpk = jax.tree_util.tree_map(
+            lambda p: p[0], pack_vit_layers_fused(params["layers"]))
+        kw = dict(heads=cfg.heads, s_valid=cfg.seq_len,
+                  quick_gelu=cfg.quick_gelu, interpret=True)
+        base = np.asarray(fused_vit_block(xp, lpk, **kw), np.float32)
+        for g in (2, 4):
+            got = np.asarray(fused_vit_block(xp, lpk, group=g, **kw),
+                             np.float32)
+            scale = np.abs(base[:, :cfg.seq_len]).max() + 1e-9
+            rel = np.abs(got[:, :cfg.seq_len]
+                         - base[:, :cfg.seq_len]).max() / scale
+            assert rel < 5e-3, (g, rel)
+
     def test_tower_deviation_vs_bf16(self):
         from lhrs_bot_tpu.models.vit import (
             ViTConfig, init_vit_params, vit_encode, vit_encode_fused)
