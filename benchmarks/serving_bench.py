@@ -88,7 +88,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--prompt-len", type=int, default=256)
-    ap.add_argument("--new-tokens", type=int, default=96)
+    ap.add_argument("--new-tokens", type=int, default=64)
     ap.add_argument("--max-seq-len", type=int, default=640)
     args = ap.parse_args()
 
@@ -116,20 +116,26 @@ def main():
               "new_tokens": args.new_tokens}
 
     results = {}
-    for k in (1, 8):
-        sched = ContinuousBatchingScheduler(
-            cfg, {}, llama_params, max_batch=args.slots,
-            max_seq_len=args.max_seq_len, tokens_per_tick=k,
-            gen_cfg=gen_cfg, prompt_bucket=64)
-        # cold start: first admit+drain compiles prefill + tick programs
-        t0 = time.perf_counter()
-        run_schedule(sched, make_reqs())
-        results[f"compile_s_k{k}"] = round(time.perf_counter() - t0, 1)
-        # warm steady-state
-        ttft, tok_s = run_schedule(sched, make_reqs())
-        results[f"ttft_s_k{k}"] = round(ttft, 3)
-        results[f"steady_tok_s_k{k}"] = round(tok_s, 1)
-        del sched
+    # ONE scheduler: the 7B prefill program compiles once; switching the
+    # decode chunk size recompiles only the tick. Headline (k=8) first so a
+    # transient tunnel failure late in the run still leaves the main number.
+    sched = ContinuousBatchingScheduler(
+        cfg, {}, llama_params, max_batch=args.slots,
+        max_seq_len=args.max_seq_len, tokens_per_tick=8,
+        gen_cfg=gen_cfg, prompt_bucket=64)
+    for k in (8, 1):
+        try:
+            sched.set_tokens_per_tick(k)
+            # cold: first admit+drain compiles (prefill only on the first k)
+            t0 = time.perf_counter()
+            run_schedule(sched, make_reqs())
+            results[f"compile_s_k{k}"] = round(time.perf_counter() - t0, 1)
+            # warm steady-state
+            ttft, tok_s = run_schedule(sched, make_reqs())
+            results[f"ttft_s_k{k}"] = round(ttft, 3)
+            results[f"steady_tok_s_k{k}"] = round(tok_s, 1)
+        except Exception as exc:  # noqa: BLE001 — report what succeeded
+            results[f"error_k{k}"] = str(exc)[:200]
 
     report.update(results)
     speedup = (results.get("steady_tok_s_k8", 0.0)

@@ -190,7 +190,8 @@ def vit_encode_fused(
     cfg: ViTConfig,
     *,
     interpret: bool = False,
-    group: int = 1,  # images per kernel token-group (see ops/vit_block.py)
+    group: int = 8,  # images per kernel token-group (hardware-tuned: 1061
+                     # vs 1008 img/s tower at g=1 on v5e, B=64)
 ) -> jnp.ndarray:
     """Multi-level encode through the fused W8A8 Pallas block kernel
     (ops/vit_block.py). `packed_layers` comes from pack_vit_layers_fused.

@@ -100,6 +100,12 @@ class ContinuousBatchingScheduler:
                                     donate_argnums=(2,))
         self._tick_jit = jax.jit(self._tick, donate_argnums=(1,))
 
+    def set_tokens_per_tick(self, k: int) -> None:
+        """Change the decode chunk size; only the tick program recompiles
+        (the prefill programs are unaffected)."""
+        self.tokens_per_tick = max(1, int(k))
+        self._tick_jit = jax.jit(self._tick, donate_argnums=(1,))
+
     # -- jitted programs ------------------------------------------------------
 
     def _prefill(self, input_ids, images, cache, slot_mask, seq_lens, rng, *,
