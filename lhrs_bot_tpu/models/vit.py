@@ -192,12 +192,21 @@ def vit_encode_fused(
     interpret: bool = False,
     group: int = 8,  # images per kernel token-group (hardware-tuned: 1061
                      # vs 1008 img/s tower at g=1 on v5e, B=64)
+    split_attention: bool = False,  # attention in XLA between two kernels
+                                    # (chip measurement pending)
 ) -> jnp.ndarray:
     """Multi-level encode through the fused W8A8 Pallas block kernel
     (ops/vit_block.py). `packed_layers` comes from pack_vit_layers_fused.
     Same tap semantics as vit_encode; the token axis is padded to a sublane
-    multiple for the kernel and padded rows are masked/dropped."""
-    from ..ops.vit_block import fused_vit_block
+    multiple for the kernel and padded rows are masked/dropped.
+
+    split_attention=True runs each block as two Pallas kernels (LN+QKV,
+    then O-proj+MLP) with XLA's batched attention between them: the
+    round-2 ablation showed in-kernel unrolled head matmuls cost 33% of
+    layer time for 4% of FLOPs, while XLA attention + one HBM round-trip
+    of QKV is cheaper at CLIP shapes."""
+    from ..ops.vit_block import (fused_vit_block, fused_vit_post,
+                                 fused_vit_qkv)
 
     x = vit_embed(params, images, cfg, jnp.bfloat16)
     x = layer_norm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"],
@@ -206,12 +215,42 @@ def vit_encode_fused(
     s_pad = -(-s // 16) * 16  # bf16 sublane tile
     if s_pad != s:
         x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    b = x.shape[0]
+    g = group
+    while b % g:
+        g //= 2
 
-    def body(carry, lp):
+    h_, d_ = cfg.heads, cfg.head_dim
+    sm = d_ ** -0.5
+    kv_ok = (jnp.arange(s_pad) < s)[None, None, None, :]  # (1,1,1,S_k)
+
+    def body_split(carry, lp):
+        xg = carry.reshape(b // g, g * s_pad, cfg.width)
+        qkv_t = fused_vit_qkv(xg, lp, ln_eps=cfg.ln_eps,
+                              interpret=interpret)  # (b/g, 3W, gS)
+        qkv = qkv_t.reshape(b // g, 3, h_, d_, g, s_pad)
+        qkv = qkv.transpose(1, 0, 4, 2, 5, 3)  # (3, b/g, g, H, S, d)
+        q, k, v = (t.reshape(b, h_, s_pad, d_) for t in qkv)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * sm, k,
+            preferred_element_type=jnp.float32)
+        scores = jnp.where(kv_ok, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                          preferred_element_type=jnp.float32)
+        attn = attn.astype(jnp.bfloat16).transpose(0, 2, 1, 3).reshape(
+            b // g, g * s_pad, cfg.width)
+        out = fused_vit_post(xg, attn, lp, ln_eps=cfg.ln_eps,
+                             quick_gelu=cfg.quick_gelu, interpret=interpret)
+        return out.reshape(b, s_pad, cfg.width), None
+
+    def body_block(carry, lp):
         out = fused_vit_block(
             carry, lp, heads=cfg.heads, s_valid=s, ln_eps=cfg.ln_eps,
             quick_gelu=cfg.quick_gelu, interpret=interpret, group=group)
         return out, None
+
+    body = body_split if split_attention else body_block
 
     taps = []
     prev = 0

@@ -256,6 +256,101 @@ def _vit_block_one(
     o_ref[img] = x2.astype(o_ref.dtype)
 
 
+def _vit_qkv_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, sqkv_ref,
+                    bqkv_ref, o_ref, *, ln_eps: float):
+    """Split-attention front half: LN1 + per-token int8 quant + QKV int8
+    matmul, emitting transposed bf16 (3W, gS). Attention itself runs in
+    XLA between the two kernels (see vit.py vit_encode_fused split mode):
+    the round-2 ablation showed the 128 unrolled in-kernel head matmuls
+    cost 33% of layer time for 4% of FLOPs — XLA's batched attention
+    plus one HBM round-trip is cheaper."""
+    x = x_ref[0]
+    h = _ln_f32(x.astype(jnp.float32), ln1s_ref, ln1b_ref, ln_eps)
+    hq, hs = _quant_act(h)
+    acc = jax.lax.dot_general(
+        wqkv_ref[...], hq, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)  # (3W, gS)
+    qkv = ((acc.astype(jnp.float32) * sqkv_ref[...]) * jnp.transpose(hs)
+           + bqkv_ref[...])
+    o_ref[0] = qkv.astype(o_ref.dtype)
+
+
+def _vit_post_kernel(x_ref, attn_ref, wo_ref, so_ref, bo_ref,
+                     ln2s_ref, ln2b_ref, wfc_ref, sfc_ref, bfc_ref,
+                     wpj_ref, spj_ref, bpj_ref, o_ref,
+                     *, ln_eps: float, quick_gelu: bool):
+    """Split-attention back half: quantize the XLA attention output,
+    int8 O projection, residual, LN2, int8 FC + GELU + int8 proj,
+    residual."""
+    x = x_ref[0]          # (gS, W) bf16
+    attn = attn_ref[0]    # (gS, W) bf16
+    aq, a_s = _quant_act(attn.astype(jnp.float32))
+    acc_o = jax.lax.dot_general(
+        aq, wo_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # (gS, W)
+    o = (acc_o.astype(jnp.float32) * a_s * so_ref[0][None] + bo_ref[0][None])
+    x1 = x.astype(jnp.float32) + o
+
+    h2 = _ln_f32(x1, ln2s_ref, ln2b_ref, ln_eps)
+    h2q, h2s = _quant_act(h2)
+    acc_fc = jax.lax.dot_general(
+        h2q, wfc_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    fc = acc_fc.astype(jnp.float32) * h2s * sfc_ref[0][None] + bfc_ref[0][None]
+    if quick_gelu:
+        fc = fc * jax.nn.sigmoid(1.702 * fc)
+    else:
+        fc = jax.nn.gelu(fc, approximate=False)
+    fq, fs = _quant_act(fc)
+    acc_pj = jax.lax.dot_general(
+        fq, wpj_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    x2 = x1 + (acc_pj.astype(jnp.float32) * fs * spj_ref[0][None]
+               + bpj_ref[0][None])
+    o_ref[0] = x2.astype(o_ref.dtype)
+
+
+def fused_vit_qkv(x, lp, *, ln_eps=1e-5, interpret=False,
+                  vmem_limit=110 * 1024 * 1024):
+    """(B/g, gS, W) bf16 → transposed QKV (B/g, 3W, gS) bf16."""
+    n, gs, w = x.shape
+    kernel = functools.partial(_vit_qkv_kernel, ln_eps=ln_eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, gs, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec((1, 3 * w, gs), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 3 * w, gs), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(x, lp["ln1_scale"], lp["ln1_bias"], lp["wqkv"], lp["sqkv"],
+      lp["bqkv"])
+
+
+def fused_vit_post(x, attn, lp, *, ln_eps=1e-5, quick_gelu=True,
+                   interpret=False, vmem_limit=110 * 1024 * 1024):
+    """(B/g, gS, W) x + attention output → block output, same shape."""
+    n, gs, w = x.shape
+    kernel = functools.partial(_vit_post_kernel, ln_eps=ln_eps,
+                               quick_gelu=quick_gelu)
+    blk = pl.BlockSpec((1, gs, w), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[blk, blk] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(x, attn, lp["wo"], lp["so"], lp["bo"], lp["ln2_scale"],
+      lp["ln2_bias"], lp["w_fc"], lp["s_fc"], lp["b_fc"],
+      lp["w_proj"], lp["s_proj"], lp["b_proj"])
+
+
 def _full_vmem():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 

@@ -379,6 +379,30 @@ class TestFusedViTBlock:
                          - base[:, :cfg.seq_len]).max() / scale
             assert rel < 5e-3, (g, rel)
 
+    def test_split_attention_matches_block(self):
+        """Split mode (two kernels + XLA attention) must match the
+        single-kernel grouped block."""
+        from lhrs_bot_tpu.models.vit import (ViTConfig, init_vit_params,
+                                             vit_encode_fused)
+        from lhrs_bot_tpu.ops.vit_block import pack_vit_layers_fused
+
+        cfg = ViTConfig(image_size=28, patch_size=14, width=128, layers=2,
+                        heads=2, extract_stages=(1, 2))
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16),
+            init_vit_params(jax.random.PRNGKey(0), cfg))
+        packed = pack_vit_layers_fused(params["layers"])
+        imgs = jnp.asarray(np.random.default_rng(0).integers(
+            0, 255, (4, 28, 28, 3)), jnp.uint8)
+        a = np.asarray(vit_encode_fused(params, packed, imgs, cfg,
+                                        interpret=True, group=2,
+                                        split_attention=False), np.float32)
+        b = np.asarray(vit_encode_fused(params, packed, imgs, cfg,
+                                        interpret=True, group=2,
+                                        split_attention=True), np.float32)
+        rel = np.abs(b - a).max() / (np.abs(a).max() + 1e-9)
+        assert rel < 0.01, rel
+
     def test_tower_deviation_vs_bf16(self):
         from lhrs_bot_tpu.models.vit import (
             ViTConfig, init_vit_params, vit_encode, vit_encode_fused)
