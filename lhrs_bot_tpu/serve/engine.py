@@ -130,15 +130,18 @@ class GenerationEngine:
 
     # -- jitted pieces ------------------------------------------------------
 
-    def _prefill(self, params, llama_params, input_ids, images, seq_lens,
-                 *, batch: int, cache_len: int):
+    def _prefill(self, params, llama_params, vision_packed, input_ids,
+                 images, seq_lens, *, batch: int, cache_len: int):
+        # vision_packed is an explicit argument (not a closure capture):
+        # captured constants are baked into every compiled program and
+        # shipped per-compile through a remote runtime
         spliced = prepare_multimodal_inputs(
             params, self.cfg, input_ids, images,
             attention_mask=jnp.arange(input_ids.shape[1])[None, :]
             < seq_lens[:, None],
             compute_dtype=self.compute_dtype,
             llama_params=llama_params,
-            vision_packed=self._vision_packed,
+            vision_packed=vision_packed,
         )
         cache = KVCache.create(self.cfg.llama, batch, cache_len,
                                dtype=self.cache_dtype)
@@ -269,7 +272,8 @@ class GenerationEngine:
         seq_lens = np.minimum(np.asarray(seq_lens), width)
 
         logits, cache = self._prefill_jit(
-            self.params, self.llama_params, jnp.asarray(input_ids),
+            self.params, self.llama_params, self._vision_packed,
+            jnp.asarray(input_ids),
             jnp.asarray(images) if images is not None else None,
             jnp.asarray(seq_lens), batch=batch, cache_len=cache_len)
 
@@ -315,7 +319,8 @@ class GenerationEngine:
         seq_len = min(int(seq_len), width)
 
         logits, cache = self._prefill_jit(
-            self.params, self.llama_params, jnp.asarray(input_ids),
+            self.params, self.llama_params, self._vision_packed,
+            jnp.asarray(input_ids),
             jnp.asarray(images) if images is not None else None,
             jnp.asarray([seq_len], np.int32), batch=1,
             cache_len=cache_len)

@@ -95,34 +95,37 @@ class ContinuousBatchingScheduler:
         self.last_tokens = np.full(max_batch, pad_token_id, np.int32)
         self.active = np.zeros(max_batch, bool)
 
+        # params are explicit jit ARGUMENTS, not closure captures: captured
+        # constants are baked into every compiled program (7 GB shipped per
+        # compile through a remote runtime)
         self._prefill_jit = jax.jit(self._prefill,
                                     static_argnames=("width",),
-                                    donate_argnums=(2,))
-        self._tick_jit = jax.jit(self._tick, donate_argnums=(1,))
+                                    donate_argnums=(4,))
+        self._tick_jit = jax.jit(self._tick, donate_argnums=(2,))
 
     def set_tokens_per_tick(self, k: int) -> None:
         """Change the decode chunk size; only the tick program recompiles
         (the prefill programs are unaffected)."""
         self.tokens_per_tick = max(1, int(k))
-        self._tick_jit = jax.jit(self._tick, donate_argnums=(1,))
+        self._tick_jit = jax.jit(self._tick, donate_argnums=(2,))
 
     # -- jitted programs ------------------------------------------------------
 
-    def _prefill(self, input_ids, images, cache, slot_mask, seq_lens, rng, *,
-                 width: int):
+    def _prefill(self, params, llama_params, input_ids, images, cache,
+                 slot_mask, seq_lens, rng, *, width: int):
         """Prefill `width`-wide prompts into the slots marked by slot_mask
         (bool (max_batch,)); rows not selected keep their cache content."""
         spliced = prepare_multimodal_inputs(
-            self.params, self.cfg, input_ids, images,
+            params, self.cfg, input_ids, images,
             attention_mask=jnp.arange(input_ids.shape[1])[None, :]
             < seq_lens[:, None],
             compute_dtype=self.compute_dtype,
-            llama_params=self.llama_params,
+            llama_params=llama_params,
         )
         tmp = KVCache.create(self.cfg.llama, self.max_batch,
                              self.max_seq_len, dtype=self.cache.k.dtype)
         logits, tmp = llama_prefill(
-            self.llama_params, self.cfg.llama, tmp,
+            llama_params, self.cfg.llama, tmp,
             inputs_embeds=spliced.inputs_embeds,
             prompt_len=spliced.seq_len,
             compute_dtype=self.compute_dtype,
@@ -136,7 +139,7 @@ class ContinuousBatchingScheduler:
         first = _sample_token(logits, rng, self.gen_cfg)
         return first, new_cache
 
-    def _tick(self, tokens, cache, active, budgets, rng):
+    def _tick(self, llama_params, tokens, cache, active, budgets, rng):
         """`tokens_per_tick` decode steps over all slots in one lax.scan.
 
         A slot freezes the moment it emits EOS or exhausts its budget:
@@ -147,10 +150,10 @@ class ContinuousBatchingScheduler:
 
         def body(carry, step_rng):
             toks, cache, act, budg = carry
-            embeds = jnp.take(self.llama_params["embed_tokens"],
+            embeds = jnp.take(llama_params["embed_tokens"],
                               toks[:, None], axis=0)
             logits, new_cache = llama_decode_step(
-                self.llama_params, self.cfg.llama, cache,
+                llama_params, self.cfg.llama, cache,
                 inputs_embeds=embeds, compute_dtype=self.compute_dtype)
             nxt = _sample_token(logits, step_rng, self.gen_cfg)
             emit = jnp.where(act, nxt, self.pad)
@@ -215,6 +218,7 @@ class ContinuousBatchingScheduler:
 
         self._rng, step_rng = jax.random.split(self._rng)
         first, self.cache = self._prefill_jit(
+            self.params, self.llama_params,
             jnp.asarray(ids), jnp.asarray(imgs) if imgs is not None else None,
             self.cache, jnp.asarray(mask), jnp.asarray(lens), step_rng,
             width=width)
@@ -260,7 +264,7 @@ class ContinuousBatchingScheduler:
             return 0
         self._rng, step_rng = jax.random.split(self._rng)
         toks, live, self.cache = self._tick_jit(
-            jnp.asarray(self.last_tokens), self.cache,
+            self.llama_params, jnp.asarray(self.last_tokens), self.cache,
             jnp.asarray(self.active), jnp.asarray(self.slot_budget),
             step_rng)
         toks_host = np.asarray(toks)   # (k, B)
