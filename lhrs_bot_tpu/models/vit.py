@@ -192,8 +192,8 @@ def vit_encode_fused(
     interpret: bool = False,
     group: int = 8,  # images per kernel token-group (hardware-tuned: 1061
                      # vs 1008 img/s tower at g=1 on v5e, B=64)
-    split_attention: bool = False,  # attention in XLA between two kernels
-                                    # (chip measurement pending)
+    split_attention: bool = False,  # NEGATIVE result: 612 vs 1061 img/s
+                                    # tower (see ops/vit_block.py docstring)
 ) -> jnp.ndarray:
     """Multi-level encode through the fused W8A8 Pallas block kernel
     (ops/vit_block.py). `packed_layers` comes from pack_vit_layers_fused.

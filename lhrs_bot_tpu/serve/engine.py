@@ -85,7 +85,12 @@ class GenerationEngine:
         self.cache_bucket = cache_bucket
         self.max_compiled_scans = max_compiled_scans
         # merge LoRA once at load (merge_and_unload parity, UniBind.py:110-116)
-        self.params = params
+        # keep only the vision-side subtrees: the raw llama weights (13.5 GB
+        # bf16 at 7B) would otherwise ride along as an unused jit argument
+        # of every prefill and OOM the 16 GB chip (the decoder runs from
+        # self.llama_params, cast/quantized below)
+        self.params = {k: v for k, v in params.items()
+                       if k not in ("llama", "lora")}
         self.llama_params = jax.tree_util.tree_map(
             lambda x: x.astype(compute_dtype)
             if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)

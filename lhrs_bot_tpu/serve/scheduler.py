@@ -74,7 +74,11 @@ class ContinuousBatchingScheduler:
         rng: Optional[jax.Array] = None,
     ):
         self.cfg = cfg
-        self.params = params
+        # vision-side subtrees only — raw llama weights must not become an
+        # unused jit argument of the prefill (see engine.py)
+        self.params = ({k: v for k, v in params.items()
+                        if k not in ("llama", "lora")}
+                       if isinstance(params, dict) else params)
         self.llama_params = llama_params
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len
