@@ -134,11 +134,16 @@ def save_orbax_params(path: str, params: Dict) -> str:
     """One-time conversion target: orbax pytree checkpoint of the full VLM
     params (fast parallel load at serving startup; see
     tools/convert_checkpoint.py)."""
+    import shutil
+
     import numpy as np
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)
+    if os.path.exists(path):  # conversion target: overwrite stale output
+        shutil.rmtree(path)
     host = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
-    ocp.PyTreeCheckpointer().save(os.path.abspath(path), host)
+    ocp.PyTreeCheckpointer().save(path, host)
     return path
 
 
@@ -150,12 +155,18 @@ def load_orbax_params(path: str, cfg: VLMConfig, *,
     import orbax.checkpoint as ocp
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    template = init_vlm_params(rng, cfg)
-    host_template = jax.tree_util.tree_map(lambda x: np.asarray(x), template)
+    # ABSTRACT template only: a real init_vlm_params would allocate the
+    # 27 GB f32 tree on-device just to describe the structure (OOMs a
+    # 16 GB chip at 7B scale)
+    template = jax.eval_shape(lambda k: init_vlm_params(k, cfg), rng)
+    host_template = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, x.dtype), template)
     restored = ocp.PyTreeCheckpointer().restore(
         os.path.abspath(path), item=host_template)
+    # keep leaves on host (numpy): callers cast/quantize per use — a full
+    # device_put of the f32 tree would not fit next to a serving engine
     return jax.tree_util.tree_map(
-        lambda a, ref: jnp.asarray(a, ref.dtype), restored, template)
+        lambda a, ref: np.asarray(a, ref.dtype), restored, template)
 
 
 def save_final(output_dir: str, params: Dict, cfg: VLMConfig,

@@ -99,13 +99,21 @@ def _vit_block_grouped_kernel(
     ln2s_ref, ln2b_ref, wfc_ref, sfc_ref, bfc_ref, wpj_ref, spj_ref, bpj_ref,
     o_ref,
     *, heads: int, s_img: int, s_valid: int, ln_eps: float, quick_gelu: bool,
-    sm_scale: float,
+    sm_scale: float, attn_pair: int = 2,
 ):
     """Like _vit_block_one, but the block carries `group` images
     CONCATENATED along the token axis ((g·S_pad, W)): every matmul, LN and
     quantization runs once over all g·S tokens (bigger MXU N, one
     dependency chain per LAYER instead of per image), while attention stays
-    per-(image, head) on static column slices of the transposed QKV."""
+    per-(image, head) on static column slices of the transposed QKV.
+
+    `attn_pair` images share one attention matmul with a BLOCK-DIAGONAL
+    mask: cross-image score blocks are computed and masked to -inf (softmax
+    zeroes them, so the wasted blocks cannot leak between images). The
+    round-2 ablation measured ~0.4 us fixed overhead per attention matmul
+    (33% of layer time at 128 ops/layer/8-img group); pairing trades
+    attn_pair× redundant MXU FLOPs (attention is 4% of the total) for
+    1/attn_pair as many ops."""
     x = x_ref[0]  # (g*S_pad, W) bf16
     gs, w = x.shape
     d = w // heads
@@ -124,27 +132,34 @@ def _vit_block_grouped_kernel(
     qkv_t = ((acc.astype(jnp.float32) * sqkv_ref[...]) * hs_t
              + bqkv_ref[...]).astype(jnp.bfloat16)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (s_img, s_img), 1)
-    kv_mask = col < s_valid
+    pair = attn_pair
+    while group % pair:
+        pair //= 2
+    ps = pair * s_img
+    # block-diagonal kv mask over a `pair`-image window: query row i may
+    # only see keys of its own image, and only the valid (non-pad) ones
+    row = jax.lax.broadcasted_iota(jnp.int32, (ps, ps), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ps, ps), 1)
+    kv_mask = (row // s_img == col // s_img) & (col % s_img < s_valid)
     img_outs = []
-    for img in range(group):
-        lo = img * s_img
+    for blk in range(group // pair):
+        lo = blk * ps
         head_outs = []
         for hd in range(heads):
-            q_h = (qkv_t[hd * d:(hd + 1) * d, lo:lo + s_img]
+            q_h = (qkv_t[hd * d:(hd + 1) * d, lo:lo + ps]
                    .astype(jnp.float32) * sm_scale).astype(jnp.bfloat16)
-            k_h = qkv_t[w + hd * d:w + (hd + 1) * d, lo:lo + s_img]
-            v_h = qkv_t[2 * w + hd * d:2 * w + (hd + 1) * d, lo:lo + s_img]
+            k_h = qkv_t[w + hd * d:w + (hd + 1) * d, lo:lo + ps]
+            v_h = qkv_t[2 * w + hd * d:2 * w + (hd + 1) * d, lo:lo + ps]
             scores = jax.lax.dot_general(
                 q_h, k_h, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (S_q, S_k)
+                preferred_element_type=jnp.float32)  # (pS_q, pS_k)
             scores = jnp.where(kv_mask, scores, _NEG_INF)
             probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
             out_h = jax.lax.dot_general(
                 v_h, probs, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (d, S_q)
+                preferred_element_type=jnp.float32)  # (d, pS_q)
             head_outs.append(out_h)
-        img_outs.append(jnp.concatenate(head_outs, axis=0))  # (W, S)
+        img_outs.append(jnp.concatenate(head_outs, axis=0))  # (W, pS)
     attn_t = jnp.concatenate(img_outs, axis=1)  # (W, gS) f32
 
     # O projection from the transposed layout (contract sublanes, native)
@@ -368,6 +383,7 @@ def fused_vit_block(
     img_tile: int = 1,  # >1 measured slower on v5e (919 vs 1007 img/s)
     group: int = 1,  # >1: images concatenated along tokens (one matmul
                      # chain over g*S rows; attention stays per-image)
+    attn_pair: int = 2,  # images per block-diagonal attention matmul
 ) -> jnp.ndarray:
     b, s_pad, w = x.shape
     sm_scale = (w // heads) ** -0.5
@@ -383,7 +399,7 @@ def fused_vit_block(
         kernel = functools.partial(
             _vit_block_grouped_kernel, heads=heads, s_img=s_pad,
             s_valid=s_valid, ln_eps=ln_eps, quick_gelu=quick_gelu,
-            sm_scale=sm_scale)
+            sm_scale=sm_scale, attn_pair=attn_pair)
         out = pl.pallas_call(
             kernel,
             grid=(b // group,),
