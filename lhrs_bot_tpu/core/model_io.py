@@ -154,19 +154,13 @@ def load_orbax_params(path: str, cfg: VLMConfig, *,
     import numpy as np
     import orbax.checkpoint as ocp
 
-    rng = rng if rng is not None else jax.random.PRNGKey(0)
-    # ABSTRACT template only: a real init_vlm_params would allocate the
-    # 27 GB f32 tree on-device just to describe the structure (OOMs a
-    # 16 GB chip at 7B scale)
-    template = jax.eval_shape(lambda k: init_vlm_params(k, cfg), rng)
-    host_template = jax.tree_util.tree_map(
-        lambda x: np.zeros(x.shape, x.dtype), template)
-    restored = ocp.PyTreeCheckpointer().restore(
-        os.path.abspath(path), item=host_template)
+    del rng, cfg  # structure/dtypes come from the checkpoint metadata:
+    # a fresh-init template cannot describe merged-LoRA or resized-vocab
+    # trees (and a real init would allocate 27 GB on-device at 7B scale)
+    restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
     # keep leaves on host (numpy): callers cast/quantize per use — a full
     # device_put of the f32 tree would not fit next to a serving engine
-    return jax.tree_util.tree_map(
-        lambda a, ref: np.asarray(a, ref.dtype), restored, template)
+    return jax.tree_util.tree_map(np.asarray, restored)
 
 
 def save_final(output_dir: str, params: Dict, cfg: VLMConfig,

@@ -29,7 +29,13 @@ from ..models.vit import ViTConfig
 
 
 def _np(tensor) -> np.ndarray:
-    return tensor.detach().to("cpu").float().numpy()
+    """Preserve the stored dtype: upcasting a 13.5 GB f16 checkpoint to f32
+    on the host doubles the copy work at load (consumers cast to their
+    compute dtype on device anyway)."""
+    t = tensor.detach().to("cpu")
+    if t.dtype == __import__("torch").bfloat16:
+        t = t.float()  # numpy has no bf16
+    return t.numpy()
 
 
 def _stack(layers):

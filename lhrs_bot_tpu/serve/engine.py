@@ -57,6 +57,55 @@ def _sample_token(logits: jnp.ndarray, rng: jax.Array,
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
+def _is_host_tree(llama_params) -> bool:
+    """True when every decoder leaf is a host (numpy) array — the
+    load_pretrained / load_orbax_params output, not device-resident."""
+    from ..ops.quant import QuantizedTensor
+
+    leaves = jax.tree_util.tree_leaves(llama_params)
+    return bool(leaves) and all(
+        isinstance(x, np.ndarray) for x in leaves) and not any(
+        isinstance(w, QuantizedTensor)
+        for w in llama_params["layers"].values())
+
+
+def _host_merge_quantize(params, cfg, compute_dtype):
+    """LoRA merge + symmetric per-channel int8, entirely in numpy.
+
+    merge_and_unload parity (UniBind.py:110-116) followed by the bits-8
+    recipe (text_modal.py:91-109), with the device footprint capped at the
+    int8 result: full-precision merged weights never leave the host."""
+    from ..ops.quant import _QUANT_TARGETS, QuantizedTensor
+
+    llama = params["llama"]
+    lora = (params.get("lora")
+            if cfg.lora is not None and "lora" in params else None)
+    out_layers = {}
+    for name, w in llama["layers"].items():
+        w = np.asarray(w)
+        if lora is not None and name in lora:
+            ab = lora[name]
+            delta = np.einsum(
+                "lir,lro->lio", np.asarray(ab["a"], np.float32),
+                np.asarray(ab["b"], np.float32)) * cfg.lora.scale
+            w = w.astype(np.float32) + delta
+        if name in _QUANT_TARGETS:
+            wf = w.astype(np.float32)
+            absmax = np.abs(wf).max(axis=1, keepdims=True)
+            scale = np.where(absmax == 0, 1.0, absmax / 127.0)
+            q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+            out_layers[name] = QuantizedTensor(
+                q=q, scale=scale.astype(np.float32), bits=8)
+        else:
+            out_layers[name] = w.astype(compute_dtype)
+    top = {
+        k: (np.asarray(v).astype(compute_dtype)
+            if np.issubdtype(np.asarray(v).dtype, np.floating) else v)
+        for k, v in llama.items() if k != "layers"
+    }
+    return {**top, "layers": out_layers}
+
+
 class GenerationEngine:
     def __init__(
         self,
@@ -91,23 +140,34 @@ class GenerationEngine:
         # self.llama_params, cast/quantized below)
         self.params = {k: v for k, v in params.items()
                        if k not in ("llama", "lora")}
-        self.llama_params = jax.tree_util.tree_map(
-            lambda x: x.astype(compute_dtype)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            effective_llama_params(params, cfg, stop_base_gradient=False),
-        )
-        if quantize_bits:
-            # bits 8/4 config parity (reference bitsandbytes load,
-            # text_modal.py:91-109): decode is weight-bandwidth-bound, so
-            # int8 weights halve HBM bytes per token
-            from ..ops.quant import quantize_llama_layers
+        if quantize_bits == 8 and _is_host_tree(params["llama"]):
+            # 7B + int8 from host checkpoints: merge LoRA and quantize in
+            # NUMPY so the chip only ever receives the int8 result. The
+            # device-side path below peaks at merged-bf16 (13.2 GB) PLUS
+            # int8 (6.6 GB) — past 16 GB of HBM, with the OOM surfacing
+            # lazily at the first real execution.
+            self.llama_params = _host_merge_quantize(
+                params, cfg, compute_dtype)
+        else:
+            self.llama_params = jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                          jnp.floating)
+                else x,
+                effective_llama_params(params, cfg,
+                                       stop_base_gradient=False),
+            )
+            if quantize_bits:
+                # bits 8/4 config parity (reference bitsandbytes load,
+                # text_modal.py:91-109): decode is weight-bandwidth-bound,
+                # so int8 weights halve HBM bytes per token
+                from ..ops.quant import quantize_llama_layers
 
-            self.llama_params = {
-                **self.llama_params,
-                "layers": quantize_llama_layers(
-                    self.llama_params["layers"], bits=quantize_bits),
-            }
+                self.llama_params = {
+                    **self.llama_params,
+                    "layers": quantize_llama_layers(
+                        self.llama_params["layers"], bits=quantize_bits),
+                }
         self._vision_packed = None
         if vision_w8a8:
             # fused W8A8 Pallas vision blocks (ops/vit_block.py): ~20%

@@ -155,6 +155,25 @@ class TestEngine:
                                  gen_cfg=GenerationConfig(max_new_tokens=3))
         assert sampled == greedy
 
+    def test_bucketing_bounds_compiled_programs(self, setup):
+        """The main_* eval prompt-length distribution must map onto a
+        handful of (width, cache_len) programs — every distinct pair is a
+        fresh 7B XLA compile through a remote runtime (VERDICT r1 weak 5)."""
+        cfg, params, engine = setup
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        # RSVQA/VG/bench-style prompts: 30-180 tokens, 50-100 new tokens
+        lens = rng.integers(30, 180, size=200)
+        news = rng.choice([20, 50, 100], size=200)
+        pairs = {engine._bucketed(int(t), 12, int(m))
+                 for t, m in zip(lens, news)}
+        assert len(pairs) <= 6, pairs
+        # every bucket fits the cache
+        for width, cache_len in pairs:
+            assert cache_len <= engine.max_seq_len
+            assert width + 12 <= cache_len
+
     def test_token_stopper(self):
         stop = make_token_stopper([42])
         assert not stop([1, 2])
@@ -162,6 +181,33 @@ class TestEngine:
 
 
 class TestQuantizedEngine:
+    def test_host_quantize_path_matches_device(self):
+        """The numpy merge+quantize fast path (7B load: device only sees
+        int8) must produce the same engine outputs as the device path."""
+        import numpy as np
+
+        cfg = VLMConfig.tiny_test(stage=0, lora=True)
+        params = init_vlm_params(jax.random.PRNGKey(3), cfg)
+        host = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+        dev = jax.tree_util.tree_map(jnp.asarray, params)
+        e_host = GenerationEngine(cfg, host, max_seq_len=64,
+                                  quantize_bits=8,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.float32)
+        e_dev = GenerationEngine(cfg, dev, max_seq_len=64, quantize_bits=8,
+                                 compute_dtype=jnp.float32,
+                                 cache_dtype=jnp.float32)
+        from lhrs_bot_tpu.ops.quant import QuantizedTensor
+
+        assert isinstance(e_host.llama_params["layers"]["wq"],
+                          QuantizedTensor)
+        ids = np.full((1, 6), 9, np.int32)
+        gen = GenerationConfig(max_new_tokens=5,
+                               eos_token_id=cfg.llama.eos_token_id)
+        a = e_host.generate(ids, np.asarray([6], np.int32), gen_cfg=gen)
+        b = e_dev.generate(ids, np.asarray([6], np.int32), gen_cfg=gen)
+        assert a == b, (a, b)
+
     def test_int8_decode_close_to_fp(self):
         cfg = VLMConfig.tiny_test(stage=0)
         params = init_vlm_params(jax.random.PRNGKey(0), cfg)
