@@ -31,7 +31,8 @@ Head-layout notes (hardware-measured):
 Round-2 hardware results (v5e, B=64):
   * grouped mode (images concatenated along tokens, `group=8`): tower
     1061 img/s vs 1008 ungrouped — bigger MXU N + one dependency chain
-    per layer;
+    per layer; block-diagonal image-paired attention (attn_pair=2) on
+    top: tower 1096, combined 764 img/s;
   * NEGATIVE: an all-bf16 variant of this kernel (no quantization)
     measured 715 img/s at its best — in-kernel int8 wins on VMEM/weight
     bandwidth even though Mosaic runs int8 matmuls at the bf16 MXU rate

@@ -80,6 +80,12 @@ def main():
                               quantize_bits=8, vision_w8a8=True)
     report["engine_init_s"] = round(time.time() - t0, 1)
 
+    import jax
+
+    stats = jax.devices()[0].memory_stats() or {}
+    report["hbm_in_use_gb"] = round(
+        stats.get("bytes_in_use", 0) / 2**30, 2)
+
     tok = make_fallback_tokenizer()
     prompt = "<image>\nDescribe the scene."
     ids = np.asarray([tokenizer_image_token(prompt, tok)], np.int32)
