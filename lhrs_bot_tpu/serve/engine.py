@@ -183,6 +183,13 @@ class GenerationEngine:
 
             self.llama_params = shard_llama_for_serving(
                 mesh, self.llama_params)
+        else:
+            # pin params on device ONCE: host (numpy) leaves passed as jit
+            # arguments are re-uploaded on EVERY call — through the remote
+            # runtime that is ~8 GB of transfer per generate (measured
+            # 255 s/call at 7B) and the upload churn is what exhausted HBM
+            self.llama_params = jax.device_put(self.llama_params)
+        self.params = jax.device_put(self.params)
         self._prefill_jit = jax.jit(
             self._prefill, static_argnames=("batch", "cache_len"))
         import collections

@@ -76,10 +76,12 @@ class ContinuousBatchingScheduler:
         self.cfg = cfg
         # vision-side subtrees only — raw llama weights must not become an
         # unused jit argument of the prefill (see engine.py)
-        self.params = ({k: v for k, v in params.items()
-                        if k not in ("llama", "lora")}
-                       if isinstance(params, dict) else params)
-        self.llama_params = llama_params
+        self.params = jax.device_put(
+            {k: v for k, v in params.items()
+             if k not in ("llama", "lora")}
+            if isinstance(params, dict) else params)
+        # pin on device once (host numpy jit args re-upload per call)
+        self.llama_params = jax.device_put(llama_params)
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len
         self.compute_dtype = compute_dtype
