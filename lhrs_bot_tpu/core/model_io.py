@@ -45,10 +45,17 @@ def load_pretrained(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        return _load_pretrained_host(cfg, model_path=model_path,
-                                     vit_path=vit_path,
-                                     llama_path=llama_path, rng=rng,
-                                     dtype=dtype)
+        params = _load_pretrained_host(cfg, model_path=model_path,
+                                       vit_path=vit_path,
+                                       llama_path=llama_path, rng=rng,
+                                       dtype=dtype)
+    # hand back NUMPY leaves: jax CPU-backend arrays look host-side but are
+    # committed to a device, which (a) defeats the engine's host-quantize
+    # fast path (isinstance np.ndarray) and (b) makes downstream jit
+    # placement ambiguous under a non-CPU default backend
+    import numpy as np
+
+    return jax.tree_util.tree_map(np.asarray, params)
 
 
 def _load_pretrained_host(cfg, *, model_path, vit_path, llama_path, rng,
