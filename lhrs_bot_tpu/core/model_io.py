@@ -147,7 +147,20 @@ def save_orbax_params(path: str, params: Dict) -> str:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    if os.path.exists(path):  # conversion target: overwrite stale output
+    if os.path.exists(path):
+        # overwrite stale output — but ONLY if it looks like a prior orbax
+        # checkpoint; a mistyped --out pointing at an unrelated directory
+        # must not be recursively deleted
+        markers = ("_METADATA", "_CHECKPOINT_METADATA", "manifest.ocdbt",
+                   "checkpoint")
+        looks_like_ckpt = os.path.isdir(path) and any(
+            os.path.exists(os.path.join(path, m)) for m in markers)
+        if not looks_like_ckpt:
+            raise ValueError(
+                f"refusing to overwrite {path!r}: it exists but does not "
+                "look like an orbax checkpoint (no "
+                f"{'/'.join(markers)} inside); remove it manually or pick "
+                "another output path")
         shutil.rmtree(path)
     host = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
     ocp.PyTreeCheckpointer().save(path, host)

@@ -158,8 +158,9 @@ def default_decoder(sample: Dict[str, bytes],
                                                  size=image_size)
             if ok[0]:
                 return {"rgb": out[0], "text": text}
-            log_and_continue(ValueError("native JPEG decode failed"))
-            return None
+            # fall through to PIL (same policy as datasets._load_image):
+            # libjpeg rejects some colorspaces PIL accepts, and dropping
+            # the sample would silently shrink the training feed
     from PIL import Image
 
     try:

@@ -277,6 +277,27 @@ class GenerationEngine:
                       self.cache_bucket) * self.cache_bucket
         return width, min(cache_len, self.max_seq_len)
 
+    def _clamp_new_tokens(self, gen_cfg: "GenerationConfig",
+                          spliced_max: int,
+                          cache_len: int) -> "GenerationConfig":
+        """Clamp max_new_tokens to the cache room left after the longest
+        spliced prompt in the batch (scheduler parity,
+        serve/scheduler.py:admit): the select-based KV write past cache_len
+        drops silently and the fused append window (ops/fused_decode.py)
+        lands out of range. Final cache length after max_new tokens is
+        spliced_max + max_new - 1 (the first token is sampled from prefill
+        logits and appended on the first decode step)."""
+        room = max(1, cache_len - spliced_max + 1)
+        if gen_cfg.max_new_tokens <= room:
+            return gen_cfg
+        import logging
+
+        logging.getLogger("lhrs_tpu").warning(
+            "max_new_tokens %d exceeds cache room %d after a %d-token "
+            "spliced prompt (cache_len=%d) — clamping",
+            gen_cfg.max_new_tokens, room, spliced_max, cache_len)
+        return dataclasses.replace(gen_cfg, max_new_tokens=room)
+
     def _pad_ids(self, input_ids: np.ndarray, width: int,
                  pad_id: int) -> np.ndarray:
         t = input_ids.shape[1]
@@ -339,9 +360,12 @@ class GenerationEngine:
         batch, t = input_ids.shape
         n_img = self.cfg.pooler.num_query if images is not None else 0
         width, cache_len = self._bucketed(t, n_img, gen_cfg.max_new_tokens)
+        seq_lens = np.minimum(np.asarray(seq_lens), width)
+        gen_cfg = self._clamp_new_tokens(
+            gen_cfg, int(seq_lens.max()) + (n_img - 1 if n_img else 0),
+            cache_len)
         input_ids = self._pad_ids(np.asarray(input_ids), width,
                                   gen_cfg.pad_token_id)
-        seq_lens = np.minimum(np.asarray(seq_lens), width)
 
         logits, cache = self._prefill_jit(
             self.params, self.llama_params, self._vision_packed,
@@ -386,9 +410,11 @@ class GenerationEngine:
         t = input_ids.shape[1]
         n_img = self.cfg.pooler.num_query if images is not None else 0
         width, cache_len = self._bucketed(t, n_img, gen_cfg.max_new_tokens)
+        seq_len = min(int(seq_len), width)
+        gen_cfg = self._clamp_new_tokens(
+            gen_cfg, seq_len + (n_img - 1 if n_img else 0), cache_len)
         input_ids = self._pad_ids(np.asarray(input_ids), width,
                                   gen_cfg.pad_token_id)
-        seq_len = min(int(seq_len), width)
 
         logits, cache = self._prefill_jit(
             self.params, self.llama_params, self._vision_packed,
@@ -398,8 +424,7 @@ class GenerationEngine:
             cache_len=cache_len)
 
         emitted: List[int] = []
-        tokens = None
-        for _ in range(gen_cfg.max_new_tokens):
+        for i in range(gen_cfg.max_new_tokens):
             rng, step_rng = jax.random.split(rng)
             tok_arr = _sample_token(logits, step_rng, gen_cfg)
             tok = int(tok_arr[0])
@@ -409,5 +434,9 @@ class GenerationEngine:
             yield tok
             if stop_fn is not None and stop_fn(emitted):
                 return
+            if i + 1 == gen_cfg.max_new_tokens:
+                return  # no decode step after the final token: its cache
+                # append would be wasted (and, at the clamp boundary,
+                # one slot past the cache)
             logits, cache = self._decode_step_jit(
                 self.llama_params, cache, tok_arr)

@@ -151,8 +151,11 @@ class ContinuousBatchingScheduler:
         A slot freezes the moment it emits EOS or exhausts its budget:
         its cache length stops growing and later emissions are masked to
         pad, so the k-step chunk is token-for-token identical to k
-        single-step ticks. Emits (k, B) tokens plus the (k, B) mask of
-        which emissions were live."""
+        single-step ticks for GREEDY decoding. When do_sample=True the RNG
+        stream differs (one split per tick here vs one per token at k=1),
+        so sampled outputs are distributionally equivalent but not
+        bit-identical across k. Emits (k, B) tokens plus the (k, B) mask
+        of which emissions were live."""
 
         def body(carry, step_rng):
             toks, cache, act, budg = carry

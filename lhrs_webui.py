@@ -16,6 +16,7 @@ Run: python lhrs_webui.py -c Config/multi_modal_eval.yaml --model-path <ckpt>
 
 from __future__ import annotations
 
+import itertools
 import re
 from typing import Iterator, List, Optional, Tuple
 
@@ -196,8 +197,11 @@ def visualize_all_bbox_together(
                     text_size, (0, 0, 0), text_line, cv2.LINE_AA)
 
     # color-coded answer text: each bracketed group becomes a span in the
-    # matching bbox color (lhrs_webui.py:886-903)
-    counter = iter(range(len(entities) * 2))
+    # matching bbox color (lhrs_webui.py:886-903). Unbounded counter: the
+    # pattern can match more bracketed groups than extracted entities
+    # (<4-coord groups, text past the last '}'), and running out of colors
+    # must never abort the re.sub mid-stream.
+    counter = itertools.count()
 
     def colored_phrase(match):
         i = next(counter)

@@ -151,8 +151,11 @@ inline uint8_t clip8(int64_t v) {
 void resize_center_crop(const uint8_t* src, int w, int h, int size,
                         uint8_t* dst) {
   const double scale = static_cast<double>(size) / std::min(w, h);
-  const int new_w = static_cast<int>(std::lround(w * scale));
-  const int new_h = static_cast<int>(std::lround(h * scale));
+  // nearbyint under the default FE_TONEAREST mode rounds half-to-even,
+  // matching Python round() in transforms.py:38 — lround (half away from
+  // zero) differs by 1 on exact halves, shifting resize/crop geometry
+  const int new_w = static_cast<int>(std::nearbyint(w * scale));
+  const int new_h = static_cast<int>(std::nearbyint(h * scale));
   const int left = (new_w - size) / 2;
   const int top = (new_h - size) / 2;
 

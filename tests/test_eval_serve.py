@@ -145,6 +145,34 @@ class TestEngine:
         stream_out = list(engine.stream(ids, 5, gen_cfg=gcfg))
         assert stream_out == batch_out[0]
 
+    def test_generate_clamps_to_cache_room(self, setup):
+        """A prompt + max_new_tokens that overflows the cache must be
+        clamped (engine parity with scheduler.admit): without the clamp the
+        select-based KV write silently drops and the fused append window
+        lands out of range, corrupting the tail tokens."""
+        cfg, params, engine = setup
+        rng = np.random.default_rng(1)
+        t = 80  # max_seq_len=96 → room for 96-80+1 = 17 new tokens
+        ids = rng.integers(3, 200, size=(1, t)).astype(np.int32)
+        gen = engine.generate(
+            ids, np.asarray([t], np.int32),
+            gen_cfg=GenerationConfig(max_new_tokens=64))
+        room = engine.max_seq_len - t + 1
+        assert 0 < len(gen[0]) <= room
+        # every emitted token must match the cacheless greedy oracle —
+        # an out-of-range KV write would corrupt the tail
+        cur = list(ids[0])
+        for tok in gen[0]:
+            logits = llama_apply(
+                engine.llama_params, cfg.llama,
+                input_ids=jnp.asarray([cur]), compute_dtype=jnp.float32)
+            assert tok == int(jnp.argmax(logits[0, -1]))
+            cur.append(tok)
+        # stream path takes the same clamp
+        streamed = list(engine.stream(
+            ids, t, gen_cfg=GenerationConfig(max_new_tokens=64)))
+        assert streamed == gen[0]
+
     def test_sampling_respects_temperature_zeroish(self, setup):
         cfg, params, engine = setup
         ids = np.full((1, 5), 11, np.int32)
