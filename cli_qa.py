@@ -79,7 +79,11 @@ def main():
             continue
 
         if first_turn and image_np is not None:
-            user = DEFAULT_IMAGE_TOKEN + "\n" + user
+            from lhrs_bot_tpu.data.preprocess import (
+                wrap_image_token_for_generation)
+
+            user = wrap_image_token_for_generation(
+                DEFAULT_IMAGE_TOKEN + "\n" + user)
             first_turn = False
         conv.append_message(conv.roles[0], user)
         conv.append_message(conv.roles[1], None)

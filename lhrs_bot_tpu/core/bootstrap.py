@@ -43,6 +43,28 @@ def add_common_args(parser: ConfigArgumentParser) -> None:
     parser.add_argument("--wandb", action="store_true")
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
+    """Wire JAX's persistent compilation cache so a fresh process reuses
+    executables compiled by earlier runs (the round-2 serving cold start
+    was 382 s of compilation before the first token). Idempotent; returns
+    the cache dir. Override with LHRS_JAX_CACHE_DIR; disable with
+    LHRS_JAX_CACHE_DIR=off."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "LHRS_JAX_CACHE_DIR",
+        os.path.expanduser("~/.cache/lhrs_tpu/jax_cache"))
+    if cache_dir.lower() in ("off", "none", ""):
+        return cache_dir
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # serving programs are the ones worth persisting and they all take
+    # >1 s to compile; tiny programs stay out of the cache
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir
+
+
 def parse_config(description: str, extra=None, args=None) -> ConfigDict:
     parser = ConfigArgumentParser(description=description)
     add_common_args(parser)
@@ -52,6 +74,7 @@ def parse_config(description: str, extra=None, args=None) -> ConfigDict:
     from ..parallel.distribute import init_distributed
 
     init_distributed()  # multi-host discovery; no-op single process
+    enable_compilation_cache()
     import jax
 
     config["rank"] = jax.process_index()
@@ -114,6 +137,8 @@ def build_engine(cfg, params, config):
     import jax.numpy as jnp
 
     from ..serve.engine import GenerationEngine
+
+    enable_compilation_cache()  # library callers skip parse_config
 
     return GenerationEngine(
         cfg, params,

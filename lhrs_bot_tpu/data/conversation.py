@@ -219,6 +219,37 @@ conv_llava_v1 = Conversation(
     sep2="</s>",
 )
 
+conv_llava_v0_mmtag = Conversation(
+    system="A chat between a curious user and an artificial intelligence "
+    "assistant. The assistant is able to understand the visual content that "
+    "the user provides, and assist the user with a variety of tasks using "
+    "natural language."
+    "The visual content will be provided with the following format: "
+    "<Image>visual content</Image>.",
+    roles=("Human", "Assistant"),
+    messages=[],
+    offset=0,
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+    version="v0_mmtag",
+)
+
+conv_llava_v1_mmtag = Conversation(
+    system="A chat between a curious user and an artificial intelligence "
+    "assistant. The assistant is able to understand the visual content that "
+    "the user provides, and assist the user with a variety of tasks using "
+    "natural language."
+    "The visual content will be provided with the following format: "
+    "<Image>visual content</Image>.",
+    roles=("USER", "ASSISTANT"),
+    version="v1_mmtag",
+    messages=[],
+    offset=0,
+    sep_style=SeparatorStyle.TWO,
+    sep=" ",
+    sep2="</s>",
+)
+
 conv_mpt = Conversation(
     system="""<|im_start|>system
 A conversation between a user and an LLM-based AI assistant. The assistant gives helpful and honest answers.""",
@@ -241,7 +272,9 @@ conv_templates = {
     "plain": conv_llava_plain,
     "v0_plain": conv_llava_plain,
     "llava_v0": conv_llava_v0,
+    "v0_mmtag": conv_llava_v0_mmtag,
     "llava_v1": conv_llava_v1,
+    "v1_mmtag": conv_llava_v1_mmtag,
     "llava_llama_2": conv_llava_llama_2,
     "mpt": conv_mpt,
 }

@@ -73,6 +73,12 @@ def preprocess_multimodal(
             if value is not None and DEFAULT_IMAGE_TOKEN in value:
                 value = value.replace(DEFAULT_IMAGE_TOKEN, "").strip()
                 value = (DEFAULT_IMAGE_TOKEN + "\n" + value).strip()
+                # mmtag templates wrap the image slot in <Image>...</Image>
+                # BEFORE the optional im_start wrap (cap_dataset.py:869-876)
+                if "mmtag" in conversation_lib.default_conversation.version:
+                    value = value.replace(
+                        DEFAULT_IMAGE_TOKEN,
+                        "<Image>" + DEFAULT_IMAGE_TOKEN + "</Image>")
                 if tune_im_start:
                     value = value.replace(
                         DEFAULT_IMAGE_TOKEN,
@@ -80,6 +86,29 @@ def preprocess_multimodal(
                         + DEFAULT_IM_END_TOKEN)
                 source[key] = value
     return sources
+
+
+def wrap_image_token_for_generation(text: str,
+                                    tune_im_start: bool = False) -> str:
+    """Generation-side image-slot wrapping (text_modal.py:546-562 parity):
+    normalize "<image>" to the front, apply the mmtag <Image>...</Image>
+    wrap when the ACTIVE template's version contains "mmtag", then the
+    optional im_start/im_end wrap. Identity for non-mmtag templates without
+    tune_im_start (the published recipes)."""
+    if DEFAULT_IMAGE_TOKEN not in text:
+        return text
+    text = text.replace(DEFAULT_IMAGE_TOKEN, "").strip()
+    text = (DEFAULT_IMAGE_TOKEN + "\n" + text).strip()
+    if "mmtag" in conversation_lib.default_conversation.version:
+        text = text.replace(
+            DEFAULT_IMAGE_TOKEN,
+            "<Image>" + DEFAULT_IMAGE_TOKEN + "</Image>")
+    if tune_im_start:
+        text = text.replace(
+            DEFAULT_IMAGE_TOKEN,
+            DEFAULT_IM_START_TOKEN + DEFAULT_IMAGE_TOKEN
+            + DEFAULT_IM_END_TOKEN)
+    return text
 
 
 def _render_conversation(sources: Sequence[Dict], conv) -> str:

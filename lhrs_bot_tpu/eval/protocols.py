@@ -80,8 +80,12 @@ def make_caption_eval_fn(
     (eval_hook.py caption branch parity, without pycocoevalcap)."""
     from ..serve.engine import GenerationConfig
 
+    from ..data.preprocess import wrap_image_token_for_generation
+
     conv = conv_lib.conv_templates[prompt_template].copy()
-    conv.append_message(conv.roles[0], DEFAULT_IMAGE_TOKEN + "\n" + prompt)
+    conv.append_message(
+        conv.roles[0],
+        wrap_image_token_for_generation(DEFAULT_IMAGE_TOKEN + "\n" + prompt))
     conv.append_message(conv.roles[1], None)
     prompt_ids = tokenizer_image_token(conv.get_prompt(), tokenizer)
     gen_cfg = GenerationConfig(

@@ -82,6 +82,10 @@ class ServingFrontend:
                     + rest.replace(DEFAULT_IMAGE_TOKEN, "")).strip()
         if image is not None and DEFAULT_IMAGE_TOKEN not in text:
             text = DEFAULT_IMAGE_TOKEN + "\n" + text
+        if image is not None:
+            from ..data.preprocess import wrap_image_token_for_generation
+
+            text = wrap_image_token_for_generation(text)
         conv.append_message(conv.roles[0], text)
         conv.append_message(conv.roles[1], None)
         ids = np.asarray(

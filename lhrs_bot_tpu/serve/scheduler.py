@@ -109,6 +109,23 @@ class ContinuousBatchingScheduler:
                                     donate_argnums=(4,))
         self._tick_jit = jax.jit(self._tick, donate_argnums=(2,))
 
+    @staticmethod
+    def _bucket_sizes(n: int):
+        """Split an admission of n requests into power-of-two chunks
+        (largest first): each chunk prefights a (b, width) program with
+        b ∈ {1, 2, 4, ...} prefill instead of always paying the full
+        max_batch compute (an 8x tax on single-request admission at 7B)."""
+        out = []
+        b = 1
+        while b * 2 <= n:
+            b *= 2
+        while n:
+            while b > n:
+                b //= 2
+            out.append(b)
+            n -= b
+        return out
+
     def set_tokens_per_tick(self, k: int) -> None:
         """Change the decode chunk size; only the tick program recompiles
         (the prefill programs are unaffected)."""
@@ -118,9 +135,12 @@ class ContinuousBatchingScheduler:
     # -- jitted programs ------------------------------------------------------
 
     def _prefill(self, params, llama_params, input_ids, images, cache,
-                 slot_mask, seq_lens, rng, *, width: int):
-        """Prefill `width`-wide prompts into the slots marked by slot_mask
-        (bool (max_batch,)); rows not selected keep their cache content."""
+                 slot_idx, seq_lens, rng, *, width: int):
+        """Prefill a BUCKETED batch of `width`-wide prompts (input_ids is
+        (b, width) for b = a power-of-two chunk of the admission, NOT
+        max_batch) and scatter the resulting KV rows into the slots named
+        by slot_idx ((b,) int32); all other slots keep their cache
+        content untouched."""
         spliced = prepare_multimodal_inputs(
             params, self.cfg, input_ids, images,
             attention_mask=jnp.arange(input_ids.shape[1])[None, :]
@@ -128,19 +148,19 @@ class ContinuousBatchingScheduler:
             compute_dtype=self.compute_dtype,
             llama_params=llama_params,
         )
-        tmp = KVCache.create(self.cfg.llama, self.max_batch,
-                             self.max_seq_len, dtype=self.cache.k.dtype)
+        b = input_ids.shape[0]
+        tmp = KVCache.create(self.cfg.llama, b, self.max_seq_len,
+                             dtype=self.cache.k.dtype)
         logits, tmp = llama_prefill(
             llama_params, self.cfg.llama, tmp,
             inputs_embeds=spliced.inputs_embeds,
             prompt_len=spliced.seq_len,
             compute_dtype=self.compute_dtype,
         )
-        sel = slot_mask[None, :, None, None, None]
         new_cache = KVCache(
-            k=jnp.where(sel, tmp.k, cache.k),
-            v=jnp.where(sel, tmp.v, cache.v),
-            length=jnp.where(slot_mask, tmp.length, cache.length),
+            k=cache.k.at[:, slot_idx].set(tmp.k),
+            v=cache.v.at[:, slot_idx].set(tmp.v),
+            length=cache.length.at[slot_idx].set(tmp.length),
         )
         first = _sample_token(logits, rng, self.gen_cfg)
         return first, new_cache
@@ -185,16 +205,29 @@ class ContinuousBatchingScheduler:
         return [i for i in range(self.max_batch) if not self.active[i]]
 
     def admit(self, requests: List[Request]) -> int:
-        """Pack as many requests as fit into free slots; returns #admitted."""
+        """Pack as many requests as fit into free slots; returns #admitted.
+
+        The admission is split into power-of-two chunks (largest first) so
+        each prefill dispatch computes only the rows it admits — a trickle
+        arrival of 1 request runs the (1, width) program, not the
+        (max_batch, width) one."""
         free = self._free_slots()
         batch = requests[:len(free)]
         if not batch:
             return 0
-        slots = free[:len(batch)]
+        done = 0
+        for b in self._bucket_sizes(len(batch)):
+            chunk = batch[done:done + b]
+            slots = free[done:done + b]
+            self._admit_chunk(chunk, slots)
+            done += b
+        return len(batch)
 
+    def _admit_chunk(self, batch: List[Request], slots: List[int]) -> None:
         import logging
 
         log = logging.getLogger("lhrs_tpu")
+        b = len(batch)
         t = max(len(r.input_ids) for r in batch)
         has_image = any(r.image is not None for r in batch)
         # an image expands the spliced prefill by num_query-1 tokens
@@ -210,35 +243,33 @@ class ContinuousBatchingScheduler:
                 "(max_seq_len=%d%s) — truncating",
                 t, width, self.max_seq_len,
                 f", image expansion {nq - 1}" if has_image else "")
-        ids = np.full((self.max_batch, width), self.pad, np.int32)
-        lens = np.zeros(self.max_batch, np.int32)
+        ids = np.full((b, width), self.pad, np.int32)
+        lens = np.zeros(b, np.int32)
         imgs = None
         if has_image:
             h = self.cfg.vit.image_size
-            imgs = np.zeros((self.max_batch, h, h, 3), np.uint8)
-        mask = np.zeros(self.max_batch, bool)
-        for slot, req in zip(slots, batch):
+            imgs = np.zeros((b, h, h, 3), np.uint8)
+        for row, req in enumerate(batch):
             n = min(len(req.input_ids), width)
-            ids[slot, :n] = req.input_ids[:n]
-            lens[slot] = n
-            mask[slot] = True
+            ids[row, :n] = req.input_ids[:n]
+            lens[row] = n
             if imgs is not None and req.image is not None:
-                imgs[slot] = req.image
+                imgs[row] = req.image
 
         self._rng, step_rng = jax.random.split(self._rng)
         first, self.cache = self._prefill_jit(
             self.params, self.llama_params,
             jnp.asarray(ids), jnp.asarray(imgs) if imgs is not None else None,
-            self.cache, jnp.asarray(mask), jnp.asarray(lens), step_rng,
-            width=width)
+            self.cache, jnp.asarray(np.asarray(slots, np.int32)),
+            jnp.asarray(lens), step_rng, width=width)
         first_host = np.asarray(first)
 
-        for slot, req in zip(slots, batch):
+        for row, (slot, req) in enumerate(zip(slots, batch)):
             self.slot_req[slot] = req
             # clamp the generation budget to the cache room left after the
             # spliced prompt — silently-dropped KV writes corrupt output
-            spliced = int(lens[slot])
-            if req.image is not None and np.any(ids[slot, :spliced] < 0):
+            spliced = int(lens[row])
+            if req.image is not None and np.any(ids[row, :spliced] < 0):
                 spliced += nq - 1
             room = max(1, self.max_seq_len - spliced)
             if req.max_new_tokens > room:
@@ -247,10 +278,9 @@ class ContinuousBatchingScheduler:
                     "after a %d-token spliced prompt — clamping",
                     req.uid, req.max_new_tokens, room, spliced)
             self.slot_budget[slot] = min(req.max_new_tokens, room)
-            tok = int(first_host[slot])
+            tok = int(first_host[row])
             self.active[slot] = True
             self._push_token(slot, tok)
-        return len(batch)
 
     def _push_token(self, slot: int, tok: int) -> None:
         req = self.slot_req[slot]

@@ -64,6 +64,52 @@ class TestConversation:
         p = conv.get_prompt()
         assert p.endswith("USER: hi ASSISTANT: hello</s>")
 
+    def test_registry_matches_reference_surface(self):
+        """conversation.py:381-395 registers 13 template names."""
+        expected = {"default", "v0", "v1", "vicuna_v1", "llama_2", "plain",
+                    "v0_plain", "llava_v0", "v0_mmtag", "llava_v1",
+                    "v1_mmtag", "llava_llama_2", "mpt"}
+        assert set(conv_lib.conv_templates) == expected
+
+    def test_mmtag_templates_golden(self):
+        """conversation.py:343-378: mmtag system prompts announce the
+        <Image>...</Image> wrap; v0 variant is SINGLE/###, v1 TWO/</s>."""
+        v0 = conv_lib.get_conversation("v0_mmtag")
+        assert v0.version == "v0_mmtag"
+        assert v0.roles == ("Human", "Assistant")
+        assert "<Image>visual content</Image>" in v0.system
+        v0.append_message(v0.roles[0], "q")
+        v0.append_message(v0.roles[1], None)
+        assert v0.get_prompt() == v0.system + "###Human: q###Assistant:"
+
+        v1 = conv_lib.get_conversation("v1_mmtag")
+        assert v1.version == "v1_mmtag"
+        assert v1.roles == ("USER", "ASSISTANT")
+        v1.append_message(v1.roles[0], "q")
+        v1.append_message(v1.roles[1], "a")
+        assert v1.get_prompt() == v1.system + " USER: q ASSISTANT: a</s>"
+
+    def test_mmtag_image_wrap_in_preprocess_and_generation(self):
+        """cap_dataset.py:869-876 + text_modal.py:552-558: with an mmtag
+        default template, the image slot is wrapped <Image><image></Image>
+        in both training preprocessing and generation prompts."""
+        from lhrs_bot_tpu.data.preprocess import (
+            preprocess_multimodal, wrap_image_token_for_generation)
+
+        conv_lib.set_default_conversation("v1_mmtag")
+        try:
+            out = preprocess_multimodal(
+                [{"Question": "what is this? <image>", "Answer": "a dam"}])
+            assert out[0]["Question"] == (
+                "<Image><image></Image>\nwhat is this?")
+            assert wrap_image_token_for_generation(
+                "<image>\ndescribe") == "<Image><image></Image>\ndescribe"
+        finally:
+            conv_lib.set_default_conversation("llava_llama_2")
+        # non-mmtag default: identity wrap
+        assert wrap_image_token_for_generation(
+            "<image>\ndescribe") == "<image>\ndescribe"
+
 
 class TestTokenizerImageToken:
     def test_single_image_token(self, tok):

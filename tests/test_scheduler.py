@@ -50,6 +50,39 @@ class TestScheduler:
             assert got[:len(expected[0])] == expected[0], (r.uid, got,
                                                            expected[0])
 
+    def test_bucket_sizes(self):
+        bs = ContinuousBatchingScheduler._bucket_sizes
+        assert bs(1) == [1]
+        assert bs(2) == [2]
+        assert bs(3) == [2, 1]
+        assert bs(5) == [4, 1]
+        assert bs(7) == [4, 2, 1]
+        assert bs(8) == [8]
+
+    def test_trickle_admission_parity(self, setup):
+        """Continuous batching with trickle arrivals: a request admitted
+        mid-decode (b=1 bucketed prefill scattering into a free slot) must
+        not disturb the active slots, and its own tokens must match the
+        plain engine."""
+        cfg, params, engine, sched = setup
+        rng = np.random.default_rng(7)
+        p0 = rng.integers(3, 200, size=(9,)).astype(np.int32)
+        p1 = rng.integers(3, 200, size=(6,)).astype(np.int32)
+        r0 = Request(uid=0, input_ids=p0, max_new_tokens=8)
+        r1 = Request(uid=1, input_ids=p1, max_new_tokens=5)
+        sched.admit([r0])
+        sched.step()          # r0 decoding alone
+        sched.admit([r1])     # trickle arrival joins mid-flight
+        while sched.active.any():
+            sched.step()
+        for r, p, n in ((r0, p0, 8), (r1, p1, 5)):
+            expected = engine.generate(
+                p[None], np.asarray([len(p)], np.int32),
+                gen_cfg=GenerationConfig(
+                    max_new_tokens=n, eos_token_id=cfg.llama.eos_token_id))
+            got = [t for t in r.output_ids if t != cfg.llama.eos_token_id]
+            assert got[:len(expected[0])] == expected[0], (r.uid,)
+
     def test_multimodal_request(self, setup):
         cfg, params, engine, sched = setup
         ids = np.full((6,), 7, np.int32)
