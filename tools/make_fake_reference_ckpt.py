@@ -27,17 +27,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def write_llama(out_dir: str, seed: int = 0) -> None:
+def write_llama(out_dir: str, seed: int = 0, *, d: int = 4096,
+                ffn: int = 11008, L: int = 32, heads: int = 32,
+                V: int = 32000) -> None:
     import torch
 
     torch.manual_seed(seed)
     os.makedirs(out_dir, exist_ok=True)
-    d, ffn, L, V = 4096, 11008, 32, 32000
     cfg = {
         "architectures": ["LlamaForCausalLM"], "model_type": "llama",
         "hidden_size": d, "intermediate_size": ffn,
-        "num_hidden_layers": L, "num_attention_heads": 32,
-        "num_key_value_heads": 32, "vocab_size": V,
+        "num_hidden_layers": L, "num_attention_heads": heads,
+        "num_key_value_heads": heads, "vocab_size": V,
         "max_position_embeddings": 2048, "rms_norm_eps": 1e-5,
         "torch_dtype": "float16",
     }
@@ -70,13 +71,25 @@ def write_llama(out_dir: str, seed: int = 0) -> None:
                                    "model-00001-of-00002.safetensors"))
     save_file(shard2, os.path.join(out_dir,
                                    "model-00002-of-00002.safetensors"))
+    # HF from_pretrained needs the shard index (the real artifact has one)
+    weight_map = {}
+    for name, shard in (("model-00001-of-00002.safetensors", shard1),
+                        ("model-00002-of-00002.safetensors", shard2)):
+        for k in shard:
+            weight_map[k] = name
+    with open(os.path.join(out_dir, "model.safetensors.index.json"),
+              "w") as fh:
+        json.dump({"metadata": {"total_size": 0},
+                   "weight_map": weight_map}, fh)
 
 
-def clip_vision_sd(prefix: str = "vision_model.", seed: int = 1):
+def clip_vision_sd(prefix: str = "vision_model.", seed: int = 1, *,
+                   w: int = 1024, L: int = 24, p: int = 14,
+                   ffn: int = 4096, image_size: int = 224):
     import torch
 
     torch.manual_seed(seed)
-    w, L, p, ffn = 1024, 24, 14, 4096
+    n_pos = (image_size // p) ** 2 + 1
 
     def t(*shape, scale=0.02):
         return torch.randn(*shape, dtype=torch.float32) * scale
@@ -84,7 +97,7 @@ def clip_vision_sd(prefix: str = "vision_model.", seed: int = 1):
     sd = {
         prefix + "embeddings.patch_embedding.weight": t(w, 3, p, p),
         prefix + "embeddings.class_embedding": t(w),
-        prefix + "embeddings.position_embedding.weight": t(257, w),
+        prefix + "embeddings.position_embedding.weight": t(n_pos, w),
         prefix + "pre_layrnorm.weight": torch.ones(w),
         prefix + "pre_layrnorm.bias": torch.zeros(w),
         prefix + "post_layernorm.weight": torch.ones(w),
@@ -106,35 +119,44 @@ def clip_vision_sd(prefix: str = "vision_model.", seed: int = 1):
     return sd
 
 
-def write_clip(out_dir: str) -> None:
+def write_clip(out_dir: str, *, w: int = 1024, L: int = 24,
+               heads: int = 16, ffn: int = 4096, p: int = 14,
+               image_size: int = 224) -> None:
     import torch
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "config.json"), "w") as fh:
-        json.dump({"model_type": "clip_vision_model", "hidden_size": 1024,
-                   "num_hidden_layers": 24, "num_attention_heads": 16,
-                   "image_size": 224, "patch_size": 14,
-                   "intermediate_size": 4096,
+        json.dump({"model_type": "clip_vision_model", "hidden_size": w,
+                   "num_hidden_layers": L, "num_attention_heads": heads,
+                   "image_size": image_size, "patch_size": p,
+                   "intermediate_size": ffn,
                    "hidden_act": "quick_gelu"}, fh)
     from safetensors.torch import save_file
 
-    sd = {k: v.to(torch.float16) for k, v in clip_vision_sd().items()}
+    sd = {k: v.to(torch.float16)
+          for k, v in clip_vision_sd(w=w, L=L, p=p, ffn=ffn,
+                                     image_size=image_size).items()}
     save_file(sd, os.path.join(out_dir, "model.safetensors"))
 
 
 def write_final_pt(path: str, resized_vocab: int = 32004,
-                   seed: int = 2) -> None:
+                   seed: int = 2, *, w: int = 1024, nq: int = 144,
+                   L: int = 6, d_llm: int = 4096, vit_layers: int = 24,
+                   vit_ffn: int = 4096, vit_patch: int = 14,
+                   image_size: int = 224) -> None:
     import torch
 
     torch.manual_seed(seed)
-    w, nq, L = 1024, 144, 6
 
     def t(*shape, scale=0.02):
         return torch.randn(*shape, dtype=torch.float32) * scale
 
     # rgb_ckpt: keys as written by get_rgb_maybe_zero_3 — the VisionModal
     # module prefix is "encoder." (rgb.encoder = CLIPVisionModel)
-    rgb = {("encoder." + k): v for k, v in clip_vision_sd().items()}
+    rgb = {("encoder." + k): v
+           for k, v in clip_vision_sd(w=w, L=vit_layers, p=vit_patch,
+                                      ffn=vit_ffn,
+                                      image_size=image_size).items()}
 
     pooler = {"query": t(1, nq, w)}
     for i in range(L):
@@ -150,26 +172,26 @@ def write_final_pt(path: str, resized_vocab: int = 32004,
         pooler[p + "mlp.c_fc.bias"] = torch.zeros(4 * w)
         pooler[p + "mlp.c_proj.weight"] = t(w, 4 * w)
         pooler[p + "mlp.c_proj.bias"] = torch.zeros(w)
-    pooler["out_proj.weight"] = t(4096, w)
-    pooler["out_proj.bias"] = torch.zeros(4096)
+    pooler["out_proj.weight"] = t(d_llm, w)
+    pooler["out_proj.bias"] = torch.zeros(d_llm)
 
     other = {
         "rgb_pooler": pooler,
         "text_proj": {},
         # resized embedding rows (reference adds special tokens)
-        "embed_tokens": {"weight": t(resized_vocab, 4096)},
+        "embed_tokens": {"weight": t(resized_vocab, d_llm)},
         "lm_head": {},
     }
     torch.save({"rgb_ckpt": rgb, "other_ckpt": other}, path)
 
 
 def write_text_lora(out_dir: str, r: int = 128, alpha: int = 256,
-                    seed: int = 3) -> None:
+                    seed: int = 3, *, d: int = 4096, ffn: int = 11008,
+                    L: int = 32) -> None:
     import torch
 
     torch.manual_seed(seed)
     os.makedirs(out_dir, exist_ok=True)
-    d, ffn, L = 4096, 11008, 32
     dims = {"q_proj": (d, d), "k_proj": (d, d), "v_proj": (d, d),
             "o_proj": (d, d), "gate_proj": (d, ffn), "up_proj": (d, ffn),
             "down_proj": (ffn, d)}
@@ -182,7 +204,11 @@ def write_text_lora(out_dir: str, r: int = 128, alpha: int = 256,
                     else f"base_model.model.model.layers.{i}.mlp.")
             sd[base + f"{proj}.lora_A.weight"] = (
                 torch.randn(r, din) * 0.01)
-            sd[base + f"{proj}.lora_B.weight"] = torch.zeros(dout, r)
+            # nonzero B: a trained adapter's B is nonzero, and the parity
+            # oracle (tools/parity_full_scale.py) must exercise a REAL
+            # merge — zero B would make merge-vs-no-merge indistinguishable
+            sd[base + f"{proj}.lora_B.weight"] = (
+                torch.randn(dout, r) * 0.002)
     torch.save(sd, os.path.join(out_dir, "adapter_model.bin"))
     with open(os.path.join(out_dir, "adapter_config.json"), "w") as fh:
         json.dump({"peft_type": "LORA", "r": r, "lora_alpha": alpha,
@@ -193,17 +219,41 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--output", required=True)
     ap.add_argument("--resized-vocab", type=int, default=32004)
+    # reduced-scale knobs (defaults = the published 7B recipe shapes);
+    # used by the CI-runnable subset of tools/parity_full_scale.py
+    ap.add_argument("--llama-layers", type=int, default=32)
+    ap.add_argument("--llama-width", type=int, default=4096)
+    ap.add_argument("--llama-ffn", type=int, default=11008)
+    ap.add_argument("--llama-heads", type=int, default=32)
+    ap.add_argument("--vocab", type=int, default=32000)
+    ap.add_argument("--vit-layers", type=int, default=24)
+    ap.add_argument("--vit-width", type=int, default=1024)
+    ap.add_argument("--vit-ffn", type=int, default=4096)
+    ap.add_argument("--vit-heads", type=int, default=16)
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--pooler-layers", type=int, default=6)
+    ap.add_argument("--num-query", type=int, default=144)
+    ap.add_argument("--lora-r", type=int, default=128)
     args = ap.parse_args()
     os.makedirs(args.output, exist_ok=True)
     print("writing llama/ ...", flush=True)
-    write_llama(os.path.join(args.output, "llama"))
+    write_llama(os.path.join(args.output, "llama"), d=args.llama_width,
+                ffn=args.llama_ffn, L=args.llama_layers,
+                heads=args.llama_heads, V=args.vocab)
     print("writing clip/ ...", flush=True)
-    write_clip(os.path.join(args.output, "clip"))
+    write_clip(os.path.join(args.output, "clip"), w=args.vit_width,
+               L=args.vit_layers, heads=args.vit_heads, ffn=args.vit_ffn,
+               image_size=args.image_size)
     print("writing FINAL.pt ...", flush=True)
     write_final_pt(os.path.join(args.output, "FINAL.pt"),
-                   args.resized_vocab)
+                   args.resized_vocab, w=args.vit_width,
+                   nq=args.num_query, L=args.pooler_layers,
+                   d_llm=args.llama_width, vit_layers=args.vit_layers,
+                   vit_ffn=args.vit_ffn, image_size=args.image_size)
     print("writing TextLoRA/ ...", flush=True)
-    write_text_lora(os.path.join(args.output, "TextLoRA"))
+    write_text_lora(os.path.join(args.output, "TextLoRA"), r=args.lora_r,
+                    alpha=2 * args.lora_r, d=args.llama_width,
+                    ffn=args.llama_ffn, L=args.llama_layers)
     print("done:", args.output)
 
 
