@@ -126,7 +126,7 @@ def effective_llama_params(params, cfg: VLMConfig, *,
 
 def encode_image(params, images: jnp.ndarray, cfg: VLMConfig,
                  compute_dtype=jnp.bfloat16, remat: bool = False,
-                 vision_packed=None):
+                 vision_packed=None, interpret: bool = False):
     """images (uint8 NHWC or float NCHW pixel_values) → (B, 144, llm_d).
 
     Mirrors UniBind.encode_image (UniBind.py:201-212): multi-level ViT
@@ -138,7 +138,7 @@ def encode_image(params, images: jnp.ndarray, cfg: VLMConfig,
         from .vit import vit_encode_fused
 
         feats = vit_encode_fused(params["vit"], vision_packed, images,
-                                 cfg.vit)
+                                 cfg.vit, interpret=interpret)
     else:
         feats = vit_encode(params["vit"], images, cfg.vit,
                            compute_dtype=compute_dtype, remat=remat)
@@ -156,6 +156,7 @@ def prepare_multimodal_inputs(
     remat: bool = False,
     llama_params=None,
     vision_packed=None,
+    interpret: bool = False,  # fused-tower kernels in interpret mode (CPU)
 ) -> SplicedBatch:
     if llama_params is None:
         llama_params = params["llama"]
@@ -171,7 +172,8 @@ def prepare_multimodal_inputs(
             jnp.sum(attention_mask.astype(jnp.int32), axis=1),
         )
     image_embeds = encode_image(params, images, cfg, compute_dtype, remat,
-                                vision_packed=vision_packed)
+                                vision_packed=vision_packed,
+                                interpret=interpret)
     return splice_image_embeddings(
         input_ids, image_embeds, embed_tokens, attention_mask, labels)
 

@@ -487,3 +487,66 @@ class TestFusedPerceiverBlock:
             params, packed, feats, cfg, interpret=True), np.float32)
         rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
         assert rel < 0.05, rel
+
+
+class TestFusedVisionGuard:
+    """Downstream guard for the fused W8A8 tower (VERDICT r2 task #6): the
+    serving fast path's quantization error must stay bounded END-TO-END —
+    greedy tokens through the spliced decoder, not just kernel numerics.
+    Full-scale evidence for the same bound is recorded by
+    tools/parity_full_scale.py (PARITY_r03.json int8_w8a8 section)."""
+
+    def test_greedy_tokens_match_bf16_tower(self):
+        from lhrs_bot_tpu.models import VLMConfig, init_vlm_params
+        from lhrs_bot_tpu.models.constants import IMAGE_TOKEN_INDEX
+        from lhrs_bot_tpu.models.llama import llama_apply
+        from lhrs_bot_tpu.models.vlm import (encode_image,
+                                             prepare_multimodal_inputs)
+        from lhrs_bot_tpu.ops.vit_block import pack_vit_layers_fused
+
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        packed = jax.jit(pack_vit_layers_fused)(params["vit"]["layers"])
+        rng = np.random.default_rng(0)
+        b = 4
+        imgs = rng.integers(
+            0, 255, (b, cfg.vit.image_size, cfg.vit.image_size, 3)
+        ).astype(np.uint8)
+
+        e_bf = encode_image(params, jnp.asarray(imgs), cfg,
+                            compute_dtype=jnp.float32)
+        e_q = encode_image(params, jnp.asarray(imgs), cfg,
+                           compute_dtype=jnp.float32,
+                           vision_packed=packed, interpret=True)
+        rel = float(jnp.linalg.norm(e_q - e_bf) / jnp.linalg.norm(e_bf))
+        assert rel < 0.02, rel  # measured 0.001 at tiny scale
+
+        ids = rng.integers(3, 200, size=(b, 6)).astype(np.int32)
+        ids[:, 1] = IMAGE_TOKEN_INDEX
+
+        def greedy(vision_packed, interpret, n=8):
+            sp = prepare_multimodal_inputs(
+                params, cfg, jnp.asarray(ids), jnp.asarray(imgs),
+                compute_dtype=jnp.float32, vision_packed=vision_packed,
+                interpret=interpret)
+            emb = sp.inputs_embeds
+            embed_tokens = params["llama"]["embed_tokens"]
+            out = []
+            for _ in range(n):
+                logits = llama_apply(params["llama"], cfg.llama,
+                                     inputs_embeds=emb,
+                                     compute_dtype=jnp.float32)
+                nxt = jnp.argmax(logits[:, -1], -1)
+                out.append(np.asarray(nxt))
+                emb = jnp.concatenate(
+                    [emb, jnp.take(embed_tokens, nxt[:, None],
+                                   axis=0).astype(emb.dtype)], axis=1)
+            return np.stack(out, 1)
+
+        g_bf = greedy(None, False)
+        g_q = greedy(packed, True)
+        # bounded flip rate: ≥90% greedy-token agreement (measured 100%
+        # at tiny scale; the serving default flip is gated on the
+        # full-scale parity artifact, not just this test)
+        agreement = float((g_bf == g_q).mean())
+        assert agreement >= 0.9, (agreement, g_bf.tolist(), g_q.tolist())
