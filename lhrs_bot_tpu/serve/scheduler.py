@@ -215,6 +215,10 @@ class ContinuousBatchingScheduler:
         batch = requests[:len(free)]
         if not batch:
             return 0
+        # FIFO decides WHO is admitted; within the admitted set, sort by
+        # prompt length so each power-of-two chunk packs similar widths
+        # (a 256-token prompt must not ride in a 2048-wide program)
+        batch = sorted(batch, key=lambda r: len(r.input_ids), reverse=True)
         done = 0
         for b in self._bucket_sizes(len(batch)):
             chunk = batch[done:done + b]
