@@ -152,17 +152,41 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
 
 
 class KVCache(NamedTuple):
-    """Static-shape KV cache: (L, B, H, S_max, D) + per-row valid length."""
+    """Static-shape KV cache: (L, B, H, S_max, D) + per-row valid length.
+
+    dtype=jnp.int8 stores K/V quantized per (position, head) vector with
+    f32 scales (L, B, H, S_max, 1): decode is HBM-bandwidth-bound and a
+    full-context (2304) bf16 slot is 1.2 GB — int8 halves both the
+    footprint (8 full-context slots fit one chip, bf16 tops out at ~6)
+    and the per-token cache read. Dequantization folds into attention
+    (scores·k_scale, probs·v_scale — exact, never materializes a bf16
+    copy); accuracy is bounded by tests/test_models.py and the full-scale
+    parity oracle."""
 
     k: jnp.ndarray
     v: jnp.ndarray
     length: jnp.ndarray  # (B,) int32
+    k_scale: Optional[jnp.ndarray] = None  # (L, B, H, S_max, 1) f32
+    v_scale: Optional[jnp.ndarray] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @classmethod
     def create(cls, cfg: LlamaConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> "KVCache":
         shape = (cfg.num_hidden_layers, batch, cfg.num_attention_heads,
                  max_len, cfg.head_dim)
+        if dtype == jnp.int8:
+            sshape = shape[:-1] + (1,)
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                length=jnp.zeros((batch,), jnp.int32),
+                k_scale=jnp.ones(sshape, jnp.float32),
+                v_scale=jnp.ones(sshape, jnp.float32),
+            )
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -258,9 +282,12 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _block_prefill(x, lp, kc, vc, cfg: LlamaConfig, cos, sin, prompt_len):
+def _block_prefill(x, lp, kc, vc, cfg: LlamaConfig, cos, sin, prompt_len,
+                   ks=None, vs=None):
     """Causal block that also returns K/V to store. Right-padded prompts:
-    causal masking alone is correct (pads sit after valid tokens)."""
+    causal masking alone is correct (pads sit after valid tokens).
+    Attention always runs on the fresh bf16 K/V; only the cache WRITE is
+    quantized when ks/vs scale planes are present (int8 cache)."""
     b, s, d = x.shape
     h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
     q, k, v = _qkv(h, lp, cfg, cos, sin)
@@ -270,9 +297,19 @@ def _block_prefill(x, lp, kc, vc, cfg: LlamaConfig, cos, sin, prompt_len):
     h2 = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
     x = x + _silu_mlp(h2, lp)
     # write into the first s slots of the cache
+    if ks is not None:
+        from ..ops.quant import quantize_activation
+
+        k_q, k_s = quantize_activation(k)
+        v_q, v_s = quantize_activation(v)
+        kc = jax.lax.dynamic_update_slice(kc, k_q, (0, 0, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v_q, (0, 0, 0, 0))
+        ks = jax.lax.dynamic_update_slice(ks, k_s, (0, 0, 0, 0))
+        vs = jax.lax.dynamic_update_slice(vs, v_s, (0, 0, 0, 0))
+        return x, kc, vc, ks, vs
     kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0, 0))
     vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0, 0))
-    return x, kc, vc
+    return x, kc, vc, None, None
 
 
 def llama_prefill(
@@ -293,12 +330,13 @@ def llama_prefill(
     layers = _cast_params(params["layers"], compute_dtype)
 
     def body(carry, xs):
-        lp, kc, vc = xs
-        x_new, kc, vc = _block_prefill(carry, lp, kc, vc, cfg, cos, sin,
-                                       prompt_len)
-        return x_new, (kc, vc)
+        lp, kc, vc, ks, vs = xs
+        x_new, kc, vc, ks, vs = _block_prefill(
+            carry, lp, kc, vc, cfg, cos, sin, prompt_len, ks, vs)
+        return x_new, (kc, vc, ks, vs)
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+    x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+        body, x, (layers, cache.k, cache.v, cache.k_scale, cache.v_scale))
     x = rms_norm(x, params["final_norm"].astype(compute_dtype),
                  cfg.rms_norm_eps)
     # next-token logits come from the last *valid* position of each row
@@ -307,7 +345,8 @@ def llama_prefill(
         x, last_idx[:, None, None].astype(jnp.int32), axis=1).squeeze(1)
     logits = jnp.dot(x_last, params["lm_head"].astype(compute_dtype),
                      preferred_element_type=jnp.float32)
-    return logits, KVCache(new_k, new_v, prompt_len.astype(jnp.int32))
+    return logits, KVCache(new_k, new_v, prompt_len.astype(jnp.int32),
+                           new_ks, new_vs)
 
 
 def _write_at(cache_arr, new_vals, lengths):
@@ -341,10 +380,12 @@ def llama_decode_step(
     if use_fused is None:
         # the fused kernel's layouts need a lane-multiple head_dim and a
         # sublane-aligned cache; tiny/test shapes (head_dim 16) fail Mosaic
-        # layout inference — dispatch those to the select-based XLA path
+        # layout inference — dispatch those to the select-based XLA path.
+        # The int8 cache runs the XLA path (scale-folded attention).
         use_fused = (jax.default_backend() == "tpu"
                      and cfg.head_dim % 128 == 0
-                     and cache.k.shape[3] % 16 == 0)
+                     and cache.k.shape[3] % 16 == 0
+                     and not cache.quantized)
     x = inputs_embeds.astype(compute_dtype)
     b = x.shape[0]
     positions = cache.length[:, None]  # (B, 1)
@@ -354,7 +395,7 @@ def llama_decode_step(
     new_len = cache.length + 1
 
     def body(carry, lp):
-        x_in, kc, vc, li = carry
+        x_in, kc, vc, ks, vs, li = carry
         h = rms_norm(x_in, lp["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(h, lp, cfg, cos, sin)  # (B, H, 1, hd)
         if use_fused:
@@ -362,6 +403,21 @@ def llama_decode_step(
 
             attn, kc, vc = fused_decode_attention(
                 q, k, v, kc, vc, cache.length, li)
+        elif ks is not None:
+            from ..ops.quant import quantize_activation
+
+            k_q, k_s = quantize_activation(k)
+            v_q, v_s = quantize_activation(v)
+            kcl = _write_at(kc[li], k_q, cache.length)
+            vcl = _write_at(vc[li], v_q, cache.length)
+            kscl = _write_at(ks[li], k_s, cache.length)
+            vscl = _write_at(vs[li], v_s, cache.length)
+            attn = decode_attention(q, kcl, vcl, new_len,
+                                    k_scale=kscl, v_scale=vscl)
+            kc = jax.lax.dynamic_update_index_in_dim(kc, kcl, li, 0)
+            vc = jax.lax.dynamic_update_index_in_dim(vc, vcl, li, 0)
+            ks = jax.lax.dynamic_update_index_in_dim(ks, kscl, li, 0)
+            vs = jax.lax.dynamic_update_index_in_dim(vs, vscl, li, 0)
         else:
             kcl = _write_at(kc[li], k, cache.length)
             vcl = _write_at(vc[li], v, cache.length)
@@ -374,12 +430,14 @@ def llama_decode_step(
         x_mid = x_in + _proj(lp, "wo", attn)
         h2 = rms_norm(x_mid, lp["post_attn_norm"], cfg.rms_norm_eps)
         x_out = x_mid + _silu_mlp(h2, lp)
-        return (x_out, kc, vc, li + 1), None
+        return (x_out, kc, vc, ks, vs, li + 1), None
 
-    init = (x, cache.k, cache.v, jnp.zeros((), jnp.int32))
-    (x, new_k, new_v, _), _ = jax.lax.scan(body, init, layers)
+    init = (x, cache.k, cache.v, cache.k_scale, cache.v_scale,
+            jnp.zeros((), jnp.int32))
+    (x, new_k, new_v, new_ks, new_vs, _), _ = jax.lax.scan(
+        body, init, layers)
     x = rms_norm(x, params["final_norm"].astype(compute_dtype),
                  cfg.rms_norm_eps)
     logits = jnp.dot(x[:, 0, :], params["lm_head"].astype(compute_dtype),
                      preferred_element_type=jnp.float32)
-    return logits, KVCache(new_k, new_v, new_len)
+    return logits, KVCache(new_k, new_v, new_len, new_ks, new_vs)

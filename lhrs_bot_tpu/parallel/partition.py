@@ -81,14 +81,17 @@ def batch_specs(batch: Dict[str, Any]) -> Any:
     return jax.tree_util.tree_map(lambda _: P(DATA_AXIS), batch)
 
 
-def kv_cache_spec() -> Any:
-    """KVCache(k, v, length): (L, B, H, S, D) — batch on data, heads on model."""
+def kv_cache_spec(quantized: bool = False) -> Any:
+    """KVCache(k, v, length): (L, B, H, S, D) — batch on data, heads on
+    model. Pass quantized=True for an int8 cache (adds the scale planes;
+    they shard like K/V)."""
     from ..models.llama import KVCache
 
+    plane = P(None, DATA_AXIS, MODEL_AXIS, None, None)
     return KVCache(
-        k=P(None, DATA_AXIS, MODEL_AXIS, None, None),
-        v=P(None, DATA_AXIS, MODEL_AXIS, None, None),
-        length=P(DATA_AXIS),
+        k=plane, v=plane, length=P(DATA_AXIS),
+        k_scale=plane if quantized else None,
+        v_scale=plane if quantized else None,
     )
 
 

@@ -161,6 +161,10 @@ class ContinuousBatchingScheduler:
             k=cache.k.at[:, slot_idx].set(tmp.k),
             v=cache.v.at[:, slot_idx].set(tmp.v),
             length=cache.length.at[slot_idx].set(tmp.length),
+            k_scale=(None if cache.k_scale is None
+                     else cache.k_scale.at[:, slot_idx].set(tmp.k_scale)),
+            v_scale=(None if cache.v_scale is None
+                     else cache.v_scale.at[:, slot_idx].set(tmp.v_scale)),
         )
         first = _sample_token(logits, rng, self.gen_cfg)
         return first, new_cache
@@ -191,7 +195,8 @@ class ContinuousBatchingScheduler:
             # frozen slots must not grow their cache
             new_cache = KVCache(
                 k=new_cache.k, v=new_cache.v,
-                length=jnp.where(act, new_cache.length, cache.length))
+                length=jnp.where(act, new_cache.length, cache.length),
+                k_scale=new_cache.k_scale, v_scale=new_cache.v_scale)
             return (emit, new_cache, new_act, budg), (emit, act)
 
         rngs = jax.random.split(rng, self.tokens_per_tick)

@@ -333,3 +333,83 @@ class TestRuntimeLora:
         loss, grads = jax.value_and_grad(loss_fn)(params["lora"])
         assert np.isfinite(float(loss))
         assert float(jnp.abs(grads["wq"]["b"]).max()) > 0.0
+
+
+class TestQuantizedKVCache:
+    """int8 KV cache (KVCache dtype=jnp.int8): per-vector quantized storage
+    with scale-folded attention. At the 2304 parity context a bf16 slot is
+    1.2 GB — int8 is what lets 8 full-context slots share one 16 GB chip
+    (serve/scheduler.py cache_dtype)."""
+
+    def _roll(self, cfg, params, emb, lens, cache_dtype, n=8):
+        from lhrs_bot_tpu.models.llama import (KVCache, llama_decode_step,
+                                               llama_prefill)
+
+        cache = KVCache.create(cfg, emb.shape[0], 32, dtype=cache_dtype)
+        logits, cache = llama_prefill(params, cfg, cache, inputs_embeds=emb,
+                                      prompt_len=lens, compute_dtype=F32)
+        toks, logs = [], [np.asarray(logits)]
+        for _ in range(n):
+            nxt = jnp.argmax(logits, -1)
+            toks.append(np.asarray(nxt))
+            e = jnp.take(params["embed_tokens"], nxt[:, None], axis=0)
+            logits, cache = llama_decode_step(params, cfg, cache,
+                                              inputs_embeds=e,
+                                              compute_dtype=F32)
+            logs.append(np.asarray(logits))
+        assert cache.quantized == (cache_dtype == jnp.int8)
+        return np.stack(toks, 1), np.stack(logs, 1)
+
+    def test_matches_full_precision(self):
+        from lhrs_bot_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig.tiny_test()
+        params = init_llama_params(jax.random.PRNGKey(0), cfg, F32)
+        rng = np.random.default_rng(0)
+        b, t = 2, 10
+        ids = rng.integers(3, 250, size=(b, t)).astype(np.int32)
+        emb = jnp.take(params["embed_tokens"], jnp.asarray(ids), axis=0)
+        lens = jnp.asarray([t, t - 2], jnp.int32)
+
+        toks_f32, logs_f32 = self._roll(cfg, params, emb, lens, F32)
+        toks_q, logs_q = self._roll(cfg, params, emb, lens, jnp.int8)
+        # measured: 0.19% rel-L2, identical greedy tokens at tiny scale
+        rel = (np.linalg.norm(logs_q - logs_f32)
+               / np.linalg.norm(logs_f32))
+        assert rel < 0.02, rel
+        assert (toks_q == toks_f32).mean() >= 0.9, (toks_q, toks_f32)
+
+    def test_engine_and_scheduler_with_int8_cache(self):
+        """End-to-end: GenerationEngine + ContinuousBatchingScheduler with
+        cache_dtype=int8 produce the plain-engine greedy tokens."""
+        from lhrs_bot_tpu.serve.engine import (GenerationConfig,
+                                               GenerationEngine)
+        from lhrs_bot_tpu.serve.scheduler import (
+            ContinuousBatchingScheduler, Request)
+
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        ref = GenerationEngine(cfg, params, max_seq_len=96,
+                               compute_dtype=F32, cache_dtype=F32)
+        q = GenerationEngine(cfg, params, max_seq_len=96,
+                             compute_dtype=F32, cache_dtype=jnp.int8)
+        rng = np.random.default_rng(3)
+        ids = rng.integers(3, 200, size=(2, 9)).astype(np.int32)
+        lens = np.asarray([9, 7], np.int32)
+        gcfg = GenerationConfig(max_new_tokens=6,
+                                eos_token_id=cfg.llama.eos_token_id)
+        expect = ref.generate(ids, lens, gen_cfg=gcfg)
+        got = q.generate(ids, lens, gen_cfg=gcfg)
+        assert got == expect, (got, expect)
+
+        sched = ContinuousBatchingScheduler(
+            cfg, params, ref.llama_params, max_batch=2, max_seq_len=96,
+            compute_dtype=F32, cache_dtype=jnp.int8,
+            eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16)
+        reqs = [Request(uid=i, input_ids=ids[i][:lens[i]],
+                        max_new_tokens=6) for i in range(2)]
+        sched.run(reqs)
+        for r, exp in zip(reqs, expect):
+            got_r = [t for t in r.output_ids
+                     if t != cfg.llama.eos_token_id]
+            assert got_r[:len(exp)] == exp, (r.uid, got_r, exp)
