@@ -155,7 +155,7 @@ class KVCache(NamedTuple):
     """Static-shape KV cache: (L, B, H, S_max, D) + per-row valid length.
 
     dtype=jnp.int8 stores K/V quantized per (position, head) vector with
-    f32 scales (L, B, H, S_max, 1): decode is HBM-bandwidth-bound and a
+    f32 scales (L, B, H, S_max): decode is HBM-bandwidth-bound and a
     full-context (2304) bf16 slot is 1.2 GB — int8 halves both the
     footprint (8 full-context slots fit one chip, bf16 tops out at ~6)
     and the per-token cache read. Dequantization folds into attention
@@ -166,7 +166,7 @@ class KVCache(NamedTuple):
     k: jnp.ndarray
     v: jnp.ndarray
     length: jnp.ndarray  # (B,) int32
-    k_scale: Optional[jnp.ndarray] = None  # (L, B, H, S_max, 1) f32
+    k_scale: Optional[jnp.ndarray] = None  # (L, B, H, S_max) f32
     v_scale: Optional[jnp.ndarray] = None
 
     @property
@@ -179,7 +179,7 @@ class KVCache(NamedTuple):
         shape = (cfg.num_hidden_layers, batch, cfg.num_attention_heads,
                  max_len, cfg.head_dim)
         if dtype == jnp.int8:
-            sshape = shape[:-1] + (1,)
+            sshape = shape[:-1]
             return cls(
                 k=jnp.zeros(shape, jnp.int8),
                 v=jnp.zeros(shape, jnp.int8),
@@ -304,8 +304,8 @@ def _block_prefill(x, lp, kc, vc, cfg: LlamaConfig, cos, sin, prompt_len,
         v_q, v_s = quantize_activation(v)
         kc = jax.lax.dynamic_update_slice(kc, k_q, (0, 0, 0, 0))
         vc = jax.lax.dynamic_update_slice(vc, v_q, (0, 0, 0, 0))
-        ks = jax.lax.dynamic_update_slice(ks, k_s, (0, 0, 0, 0))
-        vs = jax.lax.dynamic_update_slice(vs, v_s, (0, 0, 0, 0))
+        ks = jax.lax.dynamic_update_slice(ks, k_s[..., 0], (0, 0, 0))
+        vs = jax.lax.dynamic_update_slice(vs, v_s[..., 0], (0, 0, 0))
         return x, kc, vc, ks, vs
     kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0, 0))
     vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0, 0))
@@ -349,6 +349,15 @@ def llama_prefill(
                            new_ks, new_vs)
 
 
+def _write_scale_at(scale_arr, new_vals, lengths):
+    """Scatter (B, H, 1) new scales into (B, H, S) at per-row lengths
+    (same select-based write as _write_at)."""
+    s = scale_arr.shape[-1]
+    pos = jnp.arange(s)[None, None, :]
+    sel = pos == lengths[:, None, None]
+    return jnp.where(sel, new_vals, scale_arr)
+
+
 def _write_at(cache_arr, new_vals, lengths):
     """Scatter (B, H, 1, D) new_vals into (B, H, S, D) at per-row lengths.
 
@@ -381,11 +390,12 @@ def llama_decode_step(
         # the fused kernel's layouts need a lane-multiple head_dim and a
         # sublane-aligned cache; tiny/test shapes (head_dim 16) fail Mosaic
         # layout inference — dispatch those to the select-based XLA path.
-        # The int8 cache runs the XLA path (scale-folded attention).
+        # int8 caches additionally need a 128-multiple S for the scale
+        # planes' lane tiling (fused_decode_attention_q).
         use_fused = (jax.default_backend() == "tpu"
                      and cfg.head_dim % 128 == 0
-                     and cache.k.shape[3] % 16 == 0
-                     and not cache.quantized)
+                     and cache.k.shape[3] % (128 if cache.quantized
+                                             else 16) == 0)
     x = inputs_embeds.astype(compute_dtype)
     b = x.shape[0]
     positions = cache.length[:, None]  # (B, 1)
@@ -398,7 +408,16 @@ def llama_decode_step(
         x_in, kc, vc, ks, vs, li = carry
         h = rms_norm(x_in, lp["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(h, lp, cfg, cos, sin)  # (B, H, 1, hd)
-        if use_fused:
+        if use_fused and ks is not None:
+            from ..ops.fused_decode import fused_decode_attention_q
+            from ..ops.quant import quantize_activation
+
+            k_q, k_s = quantize_activation(k)
+            v_q, v_s = quantize_activation(v)
+            attn, kc, vc, ks, vs = fused_decode_attention_q(
+                q, k_q, k_s[..., 0], v_q, v_s[..., 0], kc, vc, ks, vs,
+                cache.length, li)
+        elif use_fused:
             from ..ops.fused_decode import fused_decode_attention
 
             attn, kc, vc = fused_decode_attention(
@@ -410,8 +429,8 @@ def llama_decode_step(
             v_q, v_s = quantize_activation(v)
             kcl = _write_at(kc[li], k_q, cache.length)
             vcl = _write_at(vc[li], v_q, cache.length)
-            kscl = _write_at(ks[li], k_s, cache.length)
-            vscl = _write_at(vs[li], v_s, cache.length)
+            kscl = _write_scale_at(ks[li], k_s[:, :, :, 0], cache.length)
+            vscl = _write_scale_at(vs[li], v_s[:, :, :, 0], cache.length)
             attn = decode_attention(q, kcl, vcl, new_len,
                                     k_scale=kscl, v_scale=vscl)
             kc = jax.lax.dynamic_update_index_in_dim(kc, kcl, li, 0)

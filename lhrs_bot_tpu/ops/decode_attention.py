@@ -29,7 +29,7 @@ def decode_attention(
     cache_len: jnp.ndarray,  # (B,) int32 — valid entries per sequence
     *,
     sm_scale: Optional[float] = None,
-    k_scale: Optional[jnp.ndarray] = None,  # (B, H, S_max, 1) f32
+    k_scale: Optional[jnp.ndarray] = None,  # (B, H, S_max) f32
     v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """With k_scale/v_scale the cache is per-vector int8 and dequantization
@@ -44,13 +44,13 @@ def decode_attention(
         "bhqd,bhkd->bhqk", q, kd, preferred_element_type=jnp.float32
     ) * sm_scale  # (B, H, 1, S_max)
     if k_scale is not None:
-        scores = scores * jnp.swapaxes(k_scale, -1, -2)  # (B, H, 1, S)
+        scores = scores * k_scale[:, :, None, :]  # (B, H, 1, S)
     positions = jnp.arange(s_max)[None, None, None, :]
     valid = positions < cache_len[:, None, None, None]
     scores = jnp.where(valid, scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     if v_scale is not None:
-        probs = probs * jnp.swapaxes(v_scale, -1, -2)
+        probs = probs * v_scale[:, :, None, :]
         out = jnp.einsum(
             "bhqk,bhkd->bhqd", probs.astype(q.dtype),
             v_cache.astype(q.dtype), preferred_element_type=jnp.float32)

@@ -216,3 +216,238 @@ def fused_decode_attention(
       q, k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
       k_cache, v_cache)
     return out, k_out, v_out
+
+
+def _kernel_q(layer_ref, len_ref, q_ref, kn_ref, kns_ref, vn_ref, vns_ref,
+              kc_ref, vc_ref, ksc_ref, vsc_ref,
+              out_ref, ko_ref, vo_ref, kso_ref, vso_ref,
+              kbuf, vbuf, ksbuf, vsbuf, kwin, vwin, kswin, vswin,
+              sem_k, sem_v, sem_ks, sem_vs, sem_w,
+              *, block_s: int, windows: int, swin: int, sm_scale: float):
+    """int8-cache variant: K/V rows are per-vector int8 with f32 scale
+    planes (L, B, H, S). Dequantization folds into the online softmax —
+    scores ·= k_scale, probs ·= v_scale — so cache HBM reads stay at
+    1 byte/element (decode's dominant traffic at long context)."""
+    del kc_ref, vc_ref, ksc_ref, vsc_ref  # all access via aliased outputs
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    length = len_ref[b]
+
+    # ---- append: RMW aligned windows (int8 rows + f32 scale lanes) -------
+    aligned = pl.multiple_of((length // windows) * windows, windows)
+    s_aligned = pl.multiple_of((length // swin) * swin, swin)
+    kwin_hbm = ko_ref.at[pl.ds(layer, 1), pl.ds(b, 1), :,
+                         pl.ds(aligned, windows), :]
+    vwin_hbm = vo_ref.at[pl.ds(layer, 1), pl.ds(b, 1), :,
+                         pl.ds(aligned, windows), :]
+    kswin_hbm = kso_ref.at[pl.ds(layer, 1), pl.ds(b, 1), :,
+                           pl.ds(s_aligned, swin)]
+    vswin_hbm = vso_ref.at[pl.ds(layer, 1), pl.ds(b, 1), :,
+                           pl.ds(s_aligned, swin)]
+    cps = [pltpu.make_async_copy(kwin_hbm, kwin, sem_w.at[0]),
+           pltpu.make_async_copy(vwin_hbm, vwin, sem_w.at[1]),
+           pltpu.make_async_copy(kswin_hbm, kswin, sem_w.at[2]),
+           pltpu.make_async_copy(vswin_hbm, vswin, sem_w.at[3])]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+    row = length - aligned
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, kwin.shape, 3)
+    kwin[:] = jnp.where(row_ids == row, kn_ref[:][None], kwin[:])
+    vwin[:] = jnp.where(row_ids == row, vn_ref[:][None], vwin[:])
+    s_row = length - s_aligned
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, kswin.shape, 3)
+    kswin[:] = jnp.where(s_ids == s_row,
+                         kns_ref[0, :, 0][None, None, :, None], kswin[:])
+    vswin[:] = jnp.where(s_ids == s_row,
+                         vns_ref[0, :, 0][None, None, :, None], vswin[:])
+    cps = [pltpu.make_async_copy(kwin, kwin_hbm, sem_w.at[0]),
+           pltpu.make_async_copy(vwin, vwin_hbm, sem_w.at[1]),
+           pltpu.make_async_copy(kswin, kswin_hbm, sem_w.at[2]),
+           pltpu.make_async_copy(vswin, vswin_hbm, sem_w.at[3])]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    # ---- attention over the valid prefix ---------------------------------
+    h, _, d = q_ref.shape[1:]
+    q = (q_ref[0, :, 0, :].astype(jnp.float32) * sm_scale).astype(
+        jnp.bfloat16)  # (H, D)
+    n_valid = length + 1
+    nb = pl.cdiv(n_valid, block_s)
+
+    def dma(slot, blk, buf, src, sem):
+        return pltpu.make_async_copy(
+            src.at[pl.ds(layer, 1), pl.ds(b, 1), :,
+                   pl.ds(blk * block_s, block_s), :],
+            buf.at[pl.ds(slot, 1)], sem.at[slot])
+
+    def dma_s(slot, blk, buf, src, sem):
+        return pltpu.make_async_copy(
+            src.at[pl.ds(layer, 1), pl.ds(b, 1), :,
+                   pl.ds(blk * block_s, block_s)],
+            buf.at[pl.ds(slot, 1)], sem.at[slot])
+
+    dma(0, 0, kbuf, ko_ref, sem_k).start()
+    dma(0, 0, vbuf, vo_ref, sem_v).start()
+    dma_s(0, 0, ksbuf, kso_ref, sem_ks).start()
+    dma_s(0, 0, vsbuf, vso_ref, sem_vs).start()
+
+    m0 = jnp.full((h, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((h, 1), jnp.float32)
+    acc0 = jnp.zeros((h, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            nxt = jax.lax.rem(i + 1, 2)
+            dma(nxt, i + 1, kbuf, ko_ref, sem_k).start()
+            dma(nxt, i + 1, vbuf, vo_ref, sem_v).start()
+            dma_s(nxt, i + 1, ksbuf, kso_ref, sem_ks).start()
+            dma_s(nxt, i + 1, vsbuf, vso_ref, sem_vs).start()
+
+        pltpu.make_async_copy(kbuf.at[pl.ds(slot, 1)],
+                              kbuf.at[pl.ds(slot, 1)],
+                              sem_k.at[slot]).wait()
+        pltpu.make_async_copy(ksbuf.at[pl.ds(slot, 1)],
+                              ksbuf.at[pl.ds(slot, 1)],
+                              sem_ks.at[slot]).wait()
+        k = kbuf[slot, 0].astype(jnp.bfloat16)  # (H, BS, D)
+        s = jax.lax.dot_general(
+            q[:, None, :], k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]  # (H, BS)
+        s = s * ksbuf[slot, 0]  # fold per-position K scales
+        col = i * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, _NEG_INF)
+
+        new_m = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - new_m)
+        p = jnp.exp(s - new_m)  # (H, BS)
+
+        pltpu.make_async_copy(vbuf.at[pl.ds(slot, 1)],
+                              vbuf.at[pl.ds(slot, 1)],
+                              sem_v.at[slot]).wait()
+        pltpu.make_async_copy(vsbuf.at[pl.ds(slot, 1)],
+                              vsbuf.at[pl.ds(slot, 1)],
+                              sem_vs.at[slot]).wait()
+        v = vbuf[slot, 0].astype(jnp.bfloat16)  # (H, BS, D)
+        p_scaled = (p * vsbuf[slot, 0]).astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            p_scaled[:, None, :], v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]  # (H, D)
+        acc = acc * alpha + pv
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        return new_m, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
+    out_ref[0, :, 0, :] = (acc / l).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "block_s", "interpret", "vmem_limit"))
+def fused_decode_attention_q(
+    q: jnp.ndarray,        # (B, H, 1, D) current query (bf16/f32)
+    k_new: jnp.ndarray,    # (B, H, 1, D) int8 quantized new key
+    k_new_scale: jnp.ndarray,  # (B, H, 1) f32
+    v_new: jnp.ndarray,    # (B, H, 1, D) int8
+    v_new_scale: jnp.ndarray,  # (B, H, 1) f32
+    k_cache: jnp.ndarray,  # (L, B, H, S, D) int8 — DONATE upstream
+    v_cache: jnp.ndarray,
+    k_scale: jnp.ndarray,  # (L, B, H, S) f32
+    v_scale: jnp.ndarray,
+    lengths: jnp.ndarray,  # (B,) int32
+    layer: jnp.ndarray,    # () int32
+    *,
+    sm_scale: Optional[float] = None,
+    block_s: int = 256,
+    interpret: bool = False,
+    vmem_limit: Optional[int] = None,
+):
+    """int8-cache fused append+attention; returns (attn_out, k_cache,
+    v_cache, k_scale, v_scale) with the caches aliased in place."""
+    nl, bsz, h, s, d = k_cache.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    block_s = min(block_s, s)
+    while block_s > 8 and s % block_s:
+        block_s //= 2
+    assert s % block_s == 0, (s, block_s)
+    windows = 32  # int8 sublane tile
+    swin = 128   # scale-plane lane tile
+    assert s % windows == 0 and s % swin == 0, (s,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # layer, lengths
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, h, 1, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # q
+            pl.BlockSpec((1, h, 1, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # k_new
+            pl.BlockSpec((1, h, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # k_new_scale
+            pl.BlockSpec((1, h, 1, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_new
+            pl.BlockSpec((1, h, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_new_scale
+            pl.BlockSpec(memory_space=pltpu.ANY),   # k_cache (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # v_cache
+            pl.BlockSpec(memory_space=pltpu.ANY),   # k_scale
+            pl.BlockSpec(memory_space=pltpu.ANY),   # v_scale
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, 1, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # attn out
+            pl.BlockSpec(memory_space=pltpu.ANY),   # k_cache out
+            pl.BlockSpec(memory_space=pltpu.ANY),   # v_cache out
+            pl.BlockSpec(memory_space=pltpu.ANY),   # k_scale out
+            pl.BlockSpec(memory_space=pltpu.ANY),   # v_scale out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, h, block_s, d), jnp.int8),    # kbuf
+            pltpu.VMEM((2, 1, h, block_s, d), jnp.int8),    # vbuf
+            pltpu.VMEM((2, 1, h, block_s), jnp.float32),    # ksbuf
+            pltpu.VMEM((2, 1, h, block_s), jnp.float32),    # vsbuf
+            pltpu.VMEM((1, 1, h, 32, d), jnp.int8),         # kwin
+            pltpu.VMEM((1, 1, h, 32, d), jnp.int8),         # vwin
+            pltpu.VMEM((1, 1, h, 128), jnp.float32),        # kswin
+            pltpu.VMEM((1, 1, h, 128), jnp.float32),        # vswin
+            pltpu.SemaphoreType.DMA((2,)),  # sem_k
+            pltpu.SemaphoreType.DMA((2,)),  # sem_v
+            pltpu.SemaphoreType.DMA((2,)),  # sem_ks
+            pltpu.SemaphoreType.DMA((2,)),  # sem_vs
+            pltpu.SemaphoreType.DMA((4,)),  # sem_w
+        ],
+    )
+    kernel = functools.partial(_kernel_q, block_s=block_s, windows=windows,
+                               swin=swin, sm_scale=float(sm_scale))
+    out, k_out, v_out, ks_out, vs_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, jnp.int8),
+            jax.ShapeDtypeStruct(v_cache.shape, jnp.int8),
+            jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_scale.shape, jnp.float32),
+        ],
+        # inputs counted including the two scalar-prefetch args
+        input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=vmem_limit or (96 * 1024 * 1024)),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      lengths.astype(jnp.int32),
+      q, k_new, k_new_scale, v_new, v_new_scale,
+      k_cache, v_cache, k_scale, v_scale)
+    return out, k_out, v_out, ks_out, vs_out

@@ -88,10 +88,11 @@ def kv_cache_spec(quantized: bool = False) -> Any:
     from ..models.llama import KVCache
 
     plane = P(None, DATA_AXIS, MODEL_AXIS, None, None)
+    splane = P(None, DATA_AXIS, MODEL_AXIS, None)
     return KVCache(
         k=plane, v=plane, length=P(DATA_AXIS),
-        k_scale=plane if quantized else None,
-        v_scale=plane if quantized else None,
+        k_scale=splane if quantized else None,
+        v_scale=splane if quantized else None,
     )
 
 

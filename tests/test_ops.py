@@ -550,3 +550,101 @@ class TestFusedVisionGuard:
         # full-scale parity artifact, not just this test)
         agreement = float((g_bf == g_q).mean())
         assert agreement >= 0.9, (agreement, g_bf.tolist(), g_q.tolist())
+
+
+class TestFusedDecodeAttentionQ:
+    """int8-cache fused append+attention (fused_decode_attention_q) vs the
+    scale-folded XLA path: same math, int8 rows + f32 scale planes."""
+
+    def test_parity_with_xla_int8_path(self):
+        from lhrs_bot_tpu.models.llama import _write_at, _write_scale_at
+        from lhrs_bot_tpu.ops.decode_attention import decode_attention
+        from lhrs_bot_tpu.ops.fused_decode import fused_decode_attention_q
+        from lhrs_bot_tpu.ops.quant import quantize_activation
+
+        rng = np.random.default_rng(0)
+        L, B, H, S, D = 2, 2, 2, 128, 128
+        kc_f = jnp.asarray(rng.normal(size=(L, B, H, S, D)), jnp.float32)
+        vc_f = jnp.asarray(rng.normal(size=(L, B, H, S, D)), jnp.float32)
+        kc, ks4 = quantize_activation(kc_f)
+        vc, vs4 = quantize_activation(vc_f)
+        ks, vs = ks4[..., 0], vs4[..., 0]
+        lens = jnp.asarray([5, 97], jnp.int32)
+        q = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        kn_f = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        vn_f = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        kn, kns4 = quantize_activation(kn_f)
+        vn, vns4 = quantize_activation(vn_f)
+
+        for layer in (0, 1):
+            out, k2, v2, ks2, vs2 = fused_decode_attention_q(
+                q, kn, kns4[..., 0], vn, vns4[..., 0],
+                kc, vc, ks, vs, lens, jnp.int32(layer),
+                interpret=True, block_s=32)
+            kr = _write_at(kc[layer], kn, lens)
+            vr = _write_at(vc[layer], vn, lens)
+            ksr = _write_scale_at(ks[layer], kns4[:, :, :, 0], lens)
+            vsr = _write_scale_at(vs[layer], vns4[:, :, :, 0], lens)
+            ref = decode_attention(q, kr, vr, lens + 1,
+                                   k_scale=ksr, v_scale=vsr)
+            # kernel runs bf16 dots; XLA reference accumulates in f32
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=3e-2, atol=3e-2)
+            np.testing.assert_array_equal(np.asarray(k2[layer]),
+                                          np.asarray(kr))
+            np.testing.assert_array_equal(np.asarray(v2[layer]),
+                                          np.asarray(vr))
+            np.testing.assert_allclose(np.asarray(ks2[layer]),
+                                       np.asarray(ksr), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(vs2[layer]),
+                                       np.asarray(vsr), rtol=1e-6)
+            other = 1 - layer
+            np.testing.assert_array_equal(np.asarray(k2[other]),
+                                          np.asarray(kc[other]))
+            np.testing.assert_allclose(np.asarray(ks2[other]),
+                                       np.asarray(ks[other]), rtol=1e-6)
+
+    def test_decode_step_fused_q_matches_xla(self):
+        import functools
+
+        from lhrs_bot_tpu.models.llama import (
+            KVCache, LlamaConfig, init_llama_params, llama_decode_step,
+            llama_prefill)
+        from lhrs_bot_tpu.ops import fused_decode
+
+        cfg = LlamaConfig.tiny_test()
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        B, S = 2, 128
+        rng = np.random.default_rng(1)
+        ids = rng.integers(3, 250, size=(B, 8)).astype(np.int32)
+        emb0 = jnp.take(params["embed_tokens"], jnp.asarray(ids), axis=0)
+        lens = jnp.asarray([8, 6], jnp.int32)
+        cache = KVCache.create(cfg, B, S, dtype=jnp.int8)
+        _, cache = llama_prefill(params, cfg, cache, inputs_embeds=emb0,
+                                 prompt_len=lens, compute_dtype=jnp.float32)
+        emb = jnp.asarray(rng.normal(size=(B, 1, cfg.hidden_size)),
+                          jnp.float32)
+
+        logits_ref, cache_ref = llama_decode_step(
+            params, cfg, cache, inputs_embeds=emb,
+            compute_dtype=jnp.float32, use_fused=False)
+
+        orig = fused_decode.fused_decode_attention_q
+        patched = functools.partial(orig, interpret=True, block_s=32)
+        fused_decode.fused_decode_attention_q = patched
+        try:
+            logits_f, cache_f = llama_decode_step(
+                params, cfg, cache, inputs_embeds=emb,
+                compute_dtype=jnp.float32, use_fused=True)
+        finally:
+            fused_decode.fused_decode_attention_q = orig
+        np.testing.assert_allclose(np.asarray(logits_f),
+                                   np.asarray(logits_ref),
+                                   rtol=5e-3, atol=5e-3)
+        np.testing.assert_array_equal(np.asarray(cache_f.k),
+                                      np.asarray(cache_ref.k))
+        np.testing.assert_allclose(np.asarray(cache_f.k_scale),
+                                   np.asarray(cache_ref.k_scale),
+                                   rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(cache_f.length),
+                                      np.asarray(cache_ref.length))

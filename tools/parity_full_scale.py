@@ -226,12 +226,25 @@ def run_torch_reference(ckpt, cfg, ids, pixels, n_new):
         emb_layer = llama.get_input_embeddings()
         spliced = torch.cat([emb_layer(ids_row[:pos]), img_embs[0],
                              emb_layer(ids_row[pos + 1:])], dim=0)[None]
-        logits = llama(inputs_embeds=spliced).logits[0, -1]
-        gen = llama.generate(
-            inputs_embeds=spliced, max_new_tokens=n_new, do_sample=False,
-            num_beams=1, pad_token_id=0,
-            eos_token_id=int(cfg.llama.eos_token_id))
-        tokens = [int(x) for x in gen[0]]
+        # ONE prefill (llama.generate(inputs_embeds=...) would redo the
+        # full-context prefill a second time — ~30 min of CPU at 7B);
+        # greedy steps reuse its KV cache, which is exactly what
+        # HF generate does internally after its own prefill
+        out = llama(inputs_embeds=spliced, use_cache=True)
+        logits = out.logits[0, -1].clone()
+        past = out.past_key_values
+        step_logits = out.logits[:, -1]
+        tokens = []
+        eos = int(cfg.llama.eos_token_id)
+        for _ in range(n_new):
+            nxt = int(step_logits.argmax(-1))
+            if nxt == eos:
+                break
+            tokens.append(nxt)
+            out = llama(input_ids=torch.tensor([[nxt]]),
+                        past_key_values=past, use_cache=True)
+            past = out.past_key_values
+            step_logits = out.logits[:, -1]
     fwd_s = time.time() - t0
     result = (logits.float().numpy(), tokens,
               {"torch_load_s": round(load_s, 1),
