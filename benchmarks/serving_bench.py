@@ -102,6 +102,10 @@ def main():
                     help="cycled per-request prompt lengths")
     ap.add_argument("--new-tokens", type=int, default=96)
     ap.add_argument("--max-seq-len", type=int, default=2304)
+    ap.add_argument("--cache-dtype", default="bf16",
+                    choices=("bf16", "int8"),
+                    help="int8 halves KV footprint+read: 8 full-context "
+                         "slots fit one chip (bf16 tops out at ~6)")
     args = ap.parse_args()
 
     from lhrs_bot_tpu.core.bootstrap import enable_compilation_cache
@@ -138,10 +142,12 @@ def main():
     # ONE scheduler: the 7B prefill program compiles once; switching the
     # decode chunk size recompiles only the tick. Headline (k=8) first so a
     # transient tunnel failure late in the run still leaves the main number.
+    cache_dtype = jnp.int8 if args.cache_dtype == "int8" else jnp.bfloat16
+    report["cache_dtype"] = args.cache_dtype
     sched = ContinuousBatchingScheduler(
         cfg, {}, llama_params, max_batch=args.slots,
         max_seq_len=args.max_seq_len, tokens_per_tick=8,
-        gen_cfg=gen_cfg, prompt_bucket=64)
+        cache_dtype=cache_dtype, gen_cfg=gen_cfg, prompt_bucket=64)
     for k in (8, 1):
         try:
             sched.set_tokens_per_tick(k)
