@@ -61,12 +61,15 @@ def bench_decode():
         "lm_head": jax.random.normal(keys[8], (d, V), jnp.bfloat16) * 0.02,
     }
 
-    def measure(B, SMAX, L0, steps=64, reps=3):
+    def measure(B, SMAX, L0, steps=64, reps=3, cache_dtype=jnp.bfloat16):
         """Pure decode: pre-filled cache of L0 valid tokens, `steps` fused
-        decode steps in one lax.scan dispatch, donated cache (in-place)."""
+        decode steps in one lax.scan dispatch, donated cache (in-place).
+        cache_dtype=int8 exercises the quantized cache (halved HBM reads;
+        the only configuration where 8 full-context slots fit one chip)."""
+        quant = cache_dtype == jnp.int8
 
-        def run(params, k0, v0, tok0):
-            cache = KVCache(k0, v0, jnp.full((B,), L0, jnp.int32))
+        def run(params, cache0, tok0):
+            cache = cache0._replace(length=jnp.full((B,), L0, jnp.int32))
 
             def body(carry, _):
                 cache, tok = carry
@@ -80,34 +83,53 @@ def bench_decode():
                                            length=steps)
             return jnp.sum(toks) + jnp.sum(last)
 
-        run_jit = jax.jit(run, donate_argnums=(1, 2))
+        run_jit = jax.jit(run, donate_argnums=(1,))
         shape = (L, B, cfg.num_attention_heads, SMAX, cfg.head_dim)
         tok0 = jnp.zeros((B,), jnp.int32)
 
         def fresh():
-            return (jax.random.normal(jax.random.PRNGKey(2), shape,
-                                      jnp.bfloat16),
-                    jax.random.normal(jax.random.PRNGKey(3), shape,
-                                      jnp.bfloat16))
+            zlen = jnp.zeros((B,), jnp.int32)
+            if quant:
+                mk8 = jax.jit(lambda k: jax.random.randint(
+                    k, shape, -127, 127, jnp.int8))
+                mks = jax.jit(lambda k: jax.random.uniform(
+                    k, shape[:-1], jnp.float32, 0.01, 0.03))
+                keys = jax.random.split(jax.random.PRNGKey(2), 4)
+                return KVCache(mk8(keys[0]), mk8(keys[1]), zlen,
+                               mks(keys[2]), mks(keys[3]))
+            return KVCache(
+                jax.random.normal(jax.random.PRNGKey(2), shape,
+                                  jnp.bfloat16),
+                jax.random.normal(jax.random.PRNGKey(3), shape,
+                                  jnp.bfloat16), zlen)
 
-        k0, v0 = fresh()
-        float(run_jit(params, k0, v0, tok0))  # compile
+        c0 = fresh()
+        float(run_jit(params, c0, tok0))  # compile
         times = []
         for _ in range(reps):
-            k0, v0 = fresh()
-            jax.block_until_ready((k0, v0))
+            c0 = fresh()
+            jax.block_until_ready(c0.k)
             t0 = time.perf_counter()
-            float(run_jit(params, k0, v0, tok0))
+            float(run_jit(params, c0, tok0))
             times.append(time.perf_counter() - t0)
         return steps * B / min(times)
 
     # headline: full parity context (2048 text + 144 image tokens filled)
     full_ctx = measure(B=1, SMAX=2304, L0=2192)
-    extra = {
-        "decode_b2_s2304_total_tok_s": round(measure(B=2, SMAX=2304,
-                                                     L0=2192), 2),
-        "decode_b1_s512_tok_s": round(measure(B=1, SMAX=512, L0=256), 2),
-    }
+    extra = {}
+    for key, kwargs in (
+        ("decode_b2_s2304_total_tok_s", dict(B=2, SMAX=2304, L0=2192)),
+        ("decode_b4_s2304_total_tok_s", dict(B=4, SMAX=2304, L0=2192)),
+        ("decode_b1_s512_tok_s", dict(B=1, SMAX=512, L0=256)),
+        ("decode_b1_s2304_int8cache_tok_s",
+         dict(B=1, SMAX=2304, L0=2192, cache_dtype=jnp.int8)),
+        ("decode_b8_s2304_int8cache_total_tok_s",
+         dict(B=8, SMAX=2304, L0=2192, cache_dtype=jnp.int8)),
+    ):
+        try:
+            extra[key] = round(measure(**kwargs), 2)
+        except Exception as exc:  # noqa: BLE001 — keep earlier numbers
+            extra[key] = f"error: {str(exc)[:120]}"
     return full_ctx, extra
 
 
@@ -179,6 +201,14 @@ def bench_prefill():
 
 
 def main():
+    # persistent compilation cache: repeat runs skip the ~minutes of 7B
+    # compiles (verified working through the axon runtime)
+    try:
+        from lhrs_bot_tpu.core.bootstrap import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:  # noqa: BLE001 — never block the bench on cache setup
+        pass
     # failsafe: always emit one JSON line, even if a sub-benchmark dies
     tok_s = img_s = None
     err = None
