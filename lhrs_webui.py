@@ -251,9 +251,18 @@ class WebUIDemo:
             bbox = mask2bbox(mask)
             text = text + " " + bbox if bbox else text
         if self.first_turn and self.image_np is not None:
-            text = "<image>\n" + text
+            # the conversation itself carries the image (tuple turn,
+            # conversation.py:112-203 parity): history round-trips
+            # through get_images()/to_gradio_chatbot()
+            from PIL import Image
+
+            self.conv.append_message(
+                self.conv.roles[0],
+                ("<image>\n" + text, Image.fromarray(self.raw_image),
+                 "Crop"))
             self.first_turn = False
-        self.conv.append_message(self.conv.roles[0], text)
+        else:
+            self.conv.append_message(self.conv.roles[0], text)
         self.conv.append_message(self.conv.roles[1], None)
 
     def answer_prepare(self) -> List[int]:

@@ -298,3 +298,57 @@ class TestWeightedLoaderFactory:
         batch = next(iter(loader))
         assert batch["input_ids"].shape[0] == 2
         assert (batch["labels"] != IGNORE_INDEX).any()
+
+
+class TestConversationImages:
+    """Conversation-held images (conversation.py:112-203): tuple user turns
+    carry PIL images through get_images()/to_gradio_chatbot()."""
+
+    def _conv_with_images(self):
+        from PIL import Image
+
+        conv = conv_lib.get_conversation("llava_llama_2")
+        img1 = Image.new("RGB", (640, 480), (200, 10, 10))
+        img2 = Image.new("RGB", (300, 300), (10, 200, 10))
+        conv.append_message(conv.roles[0],
+                            ("<image>\nwhat is here?", img1, "Crop"))
+        conv.append_message(conv.roles[1], "a river")
+        conv.append_message(conv.roles[0],
+                            ("<image>\nand now?", img2, "Pad"))
+        conv.append_message(conv.roles[1], None)
+        return conv, img1, img2
+
+    def test_get_images_pil_and_b64(self):
+        import base64
+
+        conv, img1, img2 = self._conv_with_images()
+        pils = conv.get_images(return_pil=True)
+        assert len(pils) == 2
+        # bounded resize: shortest edge = min(800/aspect, 400, min_hw)
+        w, h = pils[0].size
+        assert h == int(min(800 / (640 / 480), 400, 480) * 480 / 480)
+        assert w > h  # landscape preserved
+        b64s = conv.get_images()
+        assert all(isinstance(s, str) for s in b64s)
+        assert base64.b64decode(b64s[0])[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_pad_mode_squares(self):
+        conv, _, _ = self._conv_with_images()
+        # second turn uses Pad on an already-square image → unchanged ratio
+        pils = conv.get_images(return_pil=True)
+        assert pils[1].size[0] == pils[1].size[1]
+
+    def test_to_gradio_chatbot_rows(self):
+        conv, _, _ = self._conv_with_images()
+        rows = conv.to_gradio_chatbot()
+        # img row + text row per image turn; assistant reply on last row
+        assert rows[0][0].startswith('<img src="data:image/png;base64,')
+        assert rows[1][0] == "what is here?"
+        assert rows[1][1] == "a river"
+        assert rows[2][0].startswith("<img")
+        assert rows[3] == ["and now?", None]
+
+    def test_prompt_unaffected_by_tuple_turns(self):
+        conv, _, _ = self._conv_with_images()
+        prompt = conv.get_prompt()
+        assert "<image>" in prompt and "what is here?" in prompt
