@@ -131,4 +131,8 @@ class TestWebUIDemoLogic:
         mask = np.zeros((40, 40), np.uint8)
         mask[10:20, 10:20] = 1
         demo.ask("[Identify] this region", mask=mask)
-        assert "[" in demo.conv.messages[-2][1]
+        msg = demo.conv.messages[-2][1]
+        text = msg[0] if isinstance(msg, tuple) else msg
+        assert "[" in text
+        # first image turn is a tuple: the conversation carries the upload
+        assert isinstance(msg, tuple) and len(msg) == 3
