@@ -48,21 +48,21 @@ def parity_report(tmp_path_factory):
 
 class TestParityTool:
     def test_bf16_logits_close(self, parity_report):
-        bf16 = parity_report["bf16"]
+        bf16 = parity_report["bf16_int8cache"]
         # bf16 (ours) vs f32 (torch) at reduced scale: ~1% relative L2
         assert bf16["logit_rel_l2"] < 0.05, bf16
         assert bf16["top1_match"], bf16
         assert bf16["top5_overlap"] >= 4, bf16
 
     def test_bf16_greedy_prefix(self, parity_report):
-        bf16 = parity_report["bf16"]
+        bf16 = parity_report["bf16_int8cache"]
         # with random weights the argmax margin is small; bf16-vs-f32
         # rounding may flip a late low-margin token, but the leading
         # tokens must agree
         assert bf16["greedy_agree_prefix"] >= 3, bf16
 
     def test_int8_within_tolerance(self, parity_report):
-        q = parity_report["int8_w8a8"]
+        q = parity_report["int8_w8a8_int8cache"]
         # int8 weight quantization adds ~1% on top of bf16
         assert q["logit_rel_l2"] < 0.08, q
         assert q["top1_match"], q

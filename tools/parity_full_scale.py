@@ -154,9 +154,18 @@ class TorchPooler:
 
 def run_torch_reference(ckpt, cfg, ids, pixels, n_new):
     """The reference pipeline in torch f32 on CPU: returns (last-position
-    prefill logits (V,), greedy tokens)."""
+    prefill logits (V,), greedy tokens). Results are cached on disk next
+    to the checkpoint — the 7B f32 single-core forward costs ~50 min and
+    must never be recomputed for the same inputs."""
     import numpy as np
     import torch
+
+    cache_path = os.path.join(
+        ckpt, f"torch_ref_ctx{ids.shape[1]}_n{n_new}.npz")
+    if os.path.exists(cache_path):
+        blob = np.load(cache_path)
+        return (blob["logits"], [int(x) for x in blob["tokens"]],
+                {"torch_cached": True})
 
     from lhrs_bot_tpu.models.constants import IMAGE_TOKEN_INDEX
 
@@ -246,6 +255,8 @@ def run_torch_reference(ckpt, cfg, ids, pixels, n_new):
             past = out.past_key_values
             step_logits = out.logits[:, -1]
     fwd_s = time.time() - t0
+    np.savez(cache_path, logits=logits.float().numpy(),
+             tokens=np.asarray(tokens, np.int64))
     result = (logits.float().numpy(), tokens,
               {"torch_load_s": round(load_s, 1),
                "torch_fwd_s": round(fwd_s, 1)})
@@ -255,7 +266,7 @@ def run_torch_reference(ckpt, cfg, ids, pixels, n_new):
 
 
 def run_ours(ckpt, cfg, ids, pixels, n_new, *, quantize, compute_dtype,
-             max_seq_len):
+             max_seq_len, cache_dtype=None):
     """Our serving path: load_pretrained → GenerationEngine; returns
     (last-position prefill logits (V,), greedy tokens, timings)."""
     import numpy as np
@@ -277,7 +288,7 @@ def run_ours(ckpt, cfg, ids, pixels, n_new, *, quantize, compute_dtype,
     engine = GenerationEngine(
         cfg, params, max_seq_len=max_seq_len,
         compute_dtype=compute_dtype,
-        cache_dtype=compute_dtype,
+        cache_dtype=cache_dtype or compute_dtype,
         quantize_bits=8 if quantize else None,
         # the fused Pallas vision path only compiles on TPU; the CPU CI
         # subset still covers the int8 decoder weights
@@ -376,20 +387,25 @@ def main():
         args.ckpt, cfg, ids, pixels, args.new_tokens)
     report.update(t_times)
 
-    logits, tokens, times = run_ours(
-        args.ckpt, cfg, ids, pixels, args.new_tokens,
-        quantize=False, compute_dtype=jnp.bfloat16,
-        max_seq_len=max_seq_len)
-    report["bf16"] = {**compare(ref_logits, ref_tokens, logits, tokens,
-                                args.new_tokens), **times}
-
+    # bf16 weights pair with the int8 KV cache at full scale: 7B bf16
+    # (13.5 GB) + a bf16 2304-cache + vision does NOT fit 16 GB of HBM
+    # (measured OOM) — the quantized cache is what makes the full-context
+    # bf16 configuration servable at all, and this doubles as full-scale
+    # parity evidence for the int8 cache itself.
+    configs = [("bf16_int8cache",
+                dict(quantize=False, cache_dtype=jnp.int8))]
     if not args.skip_int8:
-        logits, tokens, times = run_ours(
-            args.ckpt, cfg, ids, pixels, args.new_tokens,
-            quantize=True, compute_dtype=jnp.bfloat16,
-            max_seq_len=max_seq_len)
-        report["int8_w8a8"] = {**compare(ref_logits, ref_tokens, logits,
-                                         tokens, args.new_tokens), **times}
+        configs.append(("int8_w8a8_int8cache",
+                        dict(quantize=True, cache_dtype=jnp.int8)))
+    for name, kw in configs:
+        try:
+            logits, tokens, times = run_ours(
+                args.ckpt, cfg, ids, pixels, args.new_tokens,
+                compute_dtype=jnp.bfloat16, max_seq_len=max_seq_len, **kw)
+            report[name] = {**compare(ref_logits, ref_tokens, logits,
+                                      tokens, args.new_tokens), **times}
+        except Exception as exc:  # noqa: BLE001 — keep earlier configs
+            report[name] = {"error": str(exc)[:300]}
 
     line = json.dumps(report)
     print(line)
