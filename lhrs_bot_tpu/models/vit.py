@@ -192,6 +192,7 @@ def vit_encode_fused(
     interpret: bool = False,
     group: int = 8,  # images per kernel token-group (hardware-tuned: 1061
                      # vs 1008 img/s tower at g=1 on v5e, B=64)
+    attn_pair: int = 2,  # images per block-diagonal attention matmul
     split_attention: bool = False,  # NEGATIVE result: 612 vs 1061 img/s
                                     # tower (see ops/vit_block.py docstring)
 ) -> jnp.ndarray:
@@ -247,7 +248,8 @@ def vit_encode_fused(
     def body_block(carry, lp):
         out = fused_vit_block(
             carry, lp, heads=cfg.heads, s_valid=s, ln_eps=cfg.ln_eps,
-            quick_gelu=cfg.quick_gelu, interpret=interpret, group=group)
+            quick_gelu=cfg.quick_gelu, interpret=interpret, group=group,
+            attn_pair=attn_pair)
         return out, None
 
     body = body_split if split_attention else body_block
