@@ -134,13 +134,39 @@ def build_model_and_tokenizer(config, *, eval_mode: bool = False):
 
 
 def build_engine(cfg, params, config):
+    """Engine assembly honoring the serving knobs of the config surface.
+
+    `bits: 8` (reference bitsandbytes recipe, text_modal.py:91-109) reaches
+    the engine as `quantize_bits` — at stage 0 the params arrive unquantized
+    from `build_model_and_tokenizer`, so without this the YAML knob was a
+    silent no-op for serving. `kv_bits: 8` selects the int8 KV cache
+    (8 full-context slots/chip vs 6 at bf16); `vision_w8a8` opts into the
+    fused Pallas tower (guarded by the greedy-flip test in tests/test_ops.py)
+    and defaults ON where it can run — TPU backend with int8 weights, the
+    benchmarked product path."""
+    import jax
     import jax.numpy as jnp
 
     from ..serve.engine import GenerationEngine
 
     enable_compilation_cache()  # library callers skip parse_config
 
+    bits = int(getattr(config, "bits", 16) or 16)
+    quantize_bits = bits if bits in (4, 8) else None
+    kv_bits = int(getattr(config, "kv_bits", 16) or 16)
+    cache_dtype = jnp.int8 if kv_bits == 8 else jnp.bfloat16
+    on_tpu = jax.default_backend() == "tpu"
+    # fused-kernel geometry: heads are 64-row sublane slices and the width
+    # must be lane-aligned (ops/vit_block.py) — true for CLIP-L, not for
+    # tiny test towers
+    kernel_ok = cfg.vit.head_dim == 64 and cfg.vit.width % 128 == 0
+    vision_w8a8 = bool(getattr(
+        config, "vision_w8a8", on_tpu and quantize_bits == 8 and kernel_ok))
+
     return GenerationEngine(
         cfg, params,
         max_seq_len=int(config.text.max_position_embeddings) + 256,
+        cache_dtype=cache_dtype,
+        quantize_bits=quantize_bits,
+        vision_w8a8=vision_w8a8,
     )

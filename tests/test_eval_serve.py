@@ -173,6 +173,32 @@ class TestEngine:
             ids, t, gen_cfg=GenerationConfig(max_new_tokens=64)))
         assert streamed == gen[0]
 
+    def test_build_engine_honors_serving_knobs(self):
+        """`bits: 8` / `kv_bits: 8` in a serving config must reach the
+        engine (reference bits recipe, text_modal.py:91-109): at stage 0
+        `build_model_and_tokenizer` leaves params unquantized, so without
+        build_engine plumbing the YAML knob was a silent no-op."""
+        from lhrs_bot_tpu.core.bootstrap import build_engine
+        from lhrs_bot_tpu.core.config import ConfigDict
+        from lhrs_bot_tpu.ops.quant import QuantizedTensor
+
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        config = ConfigDict({
+            "bits": 8, "kv_bits": 8,
+            "text": {"max_position_embeddings": 64},
+        })
+        engine = build_engine(cfg, params, config)
+        assert any(isinstance(w, QuantizedTensor)
+                   for w in engine.llama_params["layers"].values())
+        assert engine.cache_dtype == jnp.int8
+        # bf16 default path: no quantization, bf16 cache
+        engine16 = build_engine(cfg, params, ConfigDict({
+            "bits": 16, "text": {"max_position_embeddings": 64}}))
+        assert not any(isinstance(w, QuantizedTensor)
+                       for w in engine16.llama_params["layers"].values())
+        assert engine16.cache_dtype == jnp.bfloat16
+
     def test_sampling_respects_temperature_zeroish(self, setup):
         cfg, params, engine = setup
         ids = np.full((1, 5), 11, np.int32)
