@@ -1,0 +1,70 @@
+"""Production HTTP serving entry point (continuous batching, one chip).
+
+The reference's only serving surface is the single-user Gradio UI
+(/root/reference/lhrs_webui.py:233-239, one HF-generate thread per click);
+this CLI exposes the same model through the continuous-batching scheduler
+(serve/scheduler.py) as a stdlib JSON API:
+
+  python lhrs_serve.py -c Config/multi_modal_eval.yaml \
+      --model-path <FINAL.pt> --port 8000 --slots 8
+
+Config knobs honored (Config/multi_modal_eval.yaml): `bits: 8` int8 decoder
+weights, `kv_bits: 8` int8 KV cache — together they are what fits 8
+full-context (2304) slots on one 16 GB chip. Endpoints: POST /generate,
+GET /health (serve/api.py).
+"""
+
+from __future__ import annotations
+
+
+def main():
+    import jax.numpy as jnp
+
+    from lhrs_bot_tpu.core.bootstrap import (
+        build_engine, build_model_and_tokenizer, parse_config, setup)
+    from lhrs_bot_tpu.serve.api import ServingFrontend, serve
+    from lhrs_bot_tpu.serve.engine import GenerationConfig
+    from lhrs_bot_tpu.serve.scheduler import ContinuousBatchingScheduler
+
+    config = parse_config(
+        "LHRS-Bot TPU serving API",
+        extra=lambda p: (
+            p.add_argument("--port", type=int, default=8000),
+            p.add_argument("--slots", type=int, default=8),
+            p.add_argument("--tokens-per-tick", type=int, default=8),
+            p.add_argument("--temperature", type=float, default=0.0,
+                           help="0 → greedy (the eval protocol default)"),
+        ))
+    logger = setup(config)
+
+    cfg, params, tokenizer = build_model_and_tokenizer(config, eval_mode=True)
+    # engine prep does the heavy lifting once: LoRA merge + optional int8
+    # quantization on the host, params pinned on device
+    engine = build_engine(cfg, params, config)
+    del params
+
+    t = float(config.temperature)
+    gen_cfg = GenerationConfig(
+        do_sample=t > 0, temperature=max(t, 1e-6),
+        eos_token_id=int(tokenizer.eos_token_id),
+        pad_token_id=int(tokenizer.pad_token_id or 0))
+    sched = ContinuousBatchingScheduler(
+        cfg, engine.params, engine.llama_params,
+        max_batch=int(config.slots),
+        max_seq_len=engine.max_seq_len,
+        cache_dtype=engine.cache_dtype,
+        tokens_per_tick=int(config.tokens_per_tick),
+        gen_cfg=gen_cfg,
+    )
+    frontend = ServingFrontend(
+        sched, tokenizer,
+        image_size=int(config.rgb_vision.input_size[0]),
+        prompt_template=getattr(config, "prompt_template", "llava_llama_2"))
+    logger.info("serving on port %d (%d slots, S_max=%d, cache=%s)",
+                config.port, config.slots, engine.max_seq_len,
+                jnp.dtype(engine.cache_dtype).name)
+    serve(frontend, port=int(config.port))
+
+
+if __name__ == "__main__":
+    main()
