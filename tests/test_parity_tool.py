@@ -39,7 +39,8 @@ def parity_report(tmp_path_factory):
     run = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools",
                                       "parity_full_scale.py"),
-         "--ckpt", ckpt, "--cpu", "--ctx", "64", "--new-tokens", "8"],
+         "--ckpt", ckpt, "--cpu", "--ctx", "64", "--new-tokens", "8",
+         "--configs", "bf16,int8,f32"],
         capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
     assert run.returncode == 0, run.stderr[-2000:]
     line = run.stdout.strip().splitlines()[-1]
@@ -66,6 +67,16 @@ class TestParityTool:
         # int8 weight quantization adds ~1% on top of bf16
         assert q["logit_rel_l2"] < 0.08, q
         assert q["top1_match"], q
+
+    def test_f32_cross_implementation_exact(self, parity_report):
+        """f32 (ours) vs f32 (torch): accumulation noise is near zero, so
+        the greedy tokens must agree EXACTLY even though the random
+        checkpoint's logit margins are flat — this is the config that
+        catches convention/layout bugs that bf16 noise would mask."""
+        f32 = parity_report["f32_cpu"]
+        assert f32["logit_rel_l2"] < 1e-3, f32
+        assert f32["top1_match"], f32
+        assert f32["greedy_agree_prefix"] == f32["greedy_total"], f32
 
     def test_context_is_spliced(self, parity_report):
         # the oracle must run at a spliced (image-expanded) context

@@ -348,9 +348,18 @@ def main():
                     help="target spliced context length (prompt+image)")
     ap.add_argument("--new-tokens", type=int, default=16)
     ap.add_argument("--cpu", action="store_true",
-                    help="force the CPU backend (CI subset)")
+                    help="force the CPU backend (CI subset / f32 config)")
     ap.add_argument("--skip-int8", action="store_true")
-    ap.add_argument("--out", default=None, help="write the JSON here too")
+    ap.add_argument(
+        "--configs", default="bf16,int8",
+        help="comma list of {bf16,int8,f32}. f32 runs OUR pipeline in "
+        "float32 (CPU backend: 27 GB of weights do not fit 16 GB HBM) — "
+        "an f32-vs-f32 cross-implementation check whose accumulation "
+        "noise is near zero, so greedy tokens must agree exactly even on "
+        "a random checkpoint whose logit margins are flat; the bf16/int8 "
+        "configs then quantify precision loss separately.")
+    ap.add_argument("--out", default=None,
+                    help="write/merge the JSON here too")
     args = ap.parse_args()
 
     if args.cpu:
@@ -392,21 +401,42 @@ def main():
     # (measured OOM) — the quantized cache is what makes the full-context
     # bf16 configuration servable at all, and this doubles as full-scale
     # parity evidence for the int8 cache itself.
-    configs = [("bf16_int8cache",
-                dict(quantize=False, cache_dtype=jnp.int8))]
-    if not args.skip_int8:
-        configs.append(("int8_w8a8_int8cache",
-                        dict(quantize=True, cache_dtype=jnp.int8)))
-    for name, kw in configs:
+    all_configs = {
+        "bf16": ("bf16_int8cache",
+                 dict(quantize=False, compute_dtype=jnp.bfloat16,
+                      cache_dtype=jnp.int8)),
+        "int8": ("int8_w8a8_int8cache",
+                 dict(quantize=True, compute_dtype=jnp.bfloat16,
+                      cache_dtype=jnp.int8)),
+        "f32": ("f32_cpu",
+                dict(quantize=False, compute_dtype=jnp.float32,
+                     cache_dtype=jnp.float32)),
+    }
+    wanted = [c.strip() for c in args.configs.split(",") if c.strip()]
+    if args.skip_int8 and "int8" in wanted:
+        wanted.remove("int8")
+    for short in wanted:
+        name, kw = all_configs[short]
         try:
             logits, tokens, times = run_ours(
                 args.ckpt, cfg, ids, pixels, args.new_tokens,
-                compute_dtype=jnp.bfloat16, max_seq_len=max_seq_len, **kw)
+                max_seq_len=max_seq_len, **kw)
             report[name] = {**compare(ref_logits, ref_tokens, logits,
                                       tokens, args.new_tokens), **times}
         except Exception as exc:  # noqa: BLE001 — keep earlier configs
             report[name] = {"error": str(exc)[:300]}
 
+    if args.out and os.path.exists(args.out):
+        # merge: separate invocations (e.g. the f32/CPU config cannot share
+        # a process with the TPU configs — backend choice is global) build
+        # up one report file
+        try:
+            with open(args.out) as fh:
+                merged = json.load(fh)
+            merged.update(report)
+            report = merged
+        except Exception:  # noqa: BLE001 — unreadable -> overwrite
+            pass
     line = json.dumps(report)
     print(line)
     if args.out:
