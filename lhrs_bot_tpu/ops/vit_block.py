@@ -34,9 +34,12 @@ Round-2 hardware results (v5e, B=64):
     per layer; block-diagonal image-paired attention (attn_pair=2) on
     top: tower 1096, combined 764 img/s;
   * NEGATIVE: an all-bf16 variant of this kernel (no quantization)
-    measured 715 img/s at its best — in-kernel int8 wins on VMEM/weight
-    bandwidth even though Mosaic runs int8 matmuls at the bf16 MXU rate
-    (~150 T effective for both; native int8 mode never engages);
+    measured 715 img/s at its best;
+  * round-3 probe correction (benchmarks/int8_probe.py): the int8 dots in
+    this kernel's exact alternating forms run at ~304 TOPS (native int8
+    engages; a requant chain in standard form hits 356) — the round-2
+    "~150 T for both" claim divided total layer time by matmul FLOPs and
+    misattributed attention + VPU epilogue time to the MXU;
   * ablation: attention accounts for 14.2 of the 42.9 us/layer/img
     (33% of time for 4% of FLOPs — per-op overhead of 128 unrolled
     (image, head) matmuls at K=64), no-attention tower = 1585 img/s.
@@ -128,10 +131,15 @@ def _vit_block_grouped_kernel(
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)  # (3W, gS)
     hs_t = jnp.transpose(hs)  # (1, gS)
-    # bf16 is enough for attention inputs (heads cast to bf16 anyway);
-    # halves the VMEM/VPU footprint of the (3W, gS) tensor
-    qkv_t = ((acc.astype(jnp.float32) * sqkv_ref[...]) * hs_t
-             + bqkv_ref[...]).astype(jnp.bfloat16)
+    # softmax scale folded into the Q rows of the dequant epilogue (one
+    # (3W,1) VPU op) instead of per-head scaling inside the unrolled
+    # attention loop (64-128 ops/layer); bf16 is enough for attention
+    # inputs (heads cast to bf16 anyway) and halves the VMEM/VPU footprint
+    # of the (3W, gS) tensor
+    rows = jax.lax.broadcasted_iota(jnp.int32, (3 * w, 1), 0)
+    qrow = jnp.where(rows < w, jnp.float32(sm_scale), jnp.float32(1.0))
+    qkv_t = ((acc.astype(jnp.float32) * (sqkv_ref[...] * qrow)) * hs_t
+             + bqkv_ref[...] * qrow).astype(jnp.bfloat16)
 
     pair = attn_pair
     while group % pair:
@@ -147,8 +155,7 @@ def _vit_block_grouped_kernel(
         lo = blk * ps
         head_outs = []
         for hd in range(heads):
-            q_h = (qkv_t[hd * d:(hd + 1) * d, lo:lo + ps]
-                   .astype(jnp.float32) * sm_scale).astype(jnp.bfloat16)
+            q_h = qkv_t[hd * d:(hd + 1) * d, lo:lo + ps]  # sm pre-folded
             k_h = qkv_t[w + hd * d:w + (hd + 1) * d, lo:lo + ps]
             v_h = qkv_t[2 * w + hd * d:2 * w + (hd + 1) * d, lo:lo + ps]
             scores = jax.lax.dot_general(
@@ -217,18 +224,21 @@ def _vit_block_one(
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)  # (3W, S)
     hs_t = jnp.transpose(hs)  # (1, S)
-    qkv_t = (acc.astype(jnp.float32) * sqkv_ref[...] * hs_t
-             + bqkv_ref[...])  # scales/bias stored (3W, 1)
+    # softmax scale folded into the Q rows of the dequant epilogue (see
+    # grouped kernel); one bf16 cast for the whole tensor instead of
+    # per-head casts in the unrolled loop
+    rows = jax.lax.broadcasted_iota(jnp.int32, (3 * w, 1), 0)
+    qrow = jnp.where(rows < w, jnp.float32(sm_scale), jnp.float32(1.0))
+    qkv_t = (acc.astype(jnp.float32) * (sqkv_ref[...] * qrow) * hs_t
+             + bqkv_ref[...] * qrow).astype(jnp.bfloat16)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
     kv_mask = col < s_valid
     head_outs = []
     for hd in range(heads):
-        q_h = (qkv_t[hd * d:(hd + 1) * d, :]
-               * sm_scale).astype(jnp.bfloat16)          # (d, S)
-        k_h = qkv_t[w + hd * d:w + (hd + 1) * d, :].astype(jnp.bfloat16)
-        v_h = qkv_t[2 * w + hd * d:2 * w + (hd + 1) * d, :].astype(
-            jnp.bfloat16)
+        q_h = qkv_t[hd * d:(hd + 1) * d, :]              # (d, S)
+        k_h = qkv_t[w + hd * d:w + (hd + 1) * d, :]
+        v_h = qkv_t[2 * w + hd * d:2 * w + (hd + 1) * d, :]
         scores = jax.lax.dot_general(
             q_h, k_h, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (S_q, S_k)
