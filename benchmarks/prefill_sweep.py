@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--configs", default="8:2,8:4,8:8,16:2,16:4")
+    ap.add_argument("--skip-glue", action="store_true",
+                    help="skip the perceiver-only isolation run")
     args = ap.parse_args()
 
     from lhrs_bot_tpu.core.bootstrap import enable_compilation_cache
@@ -33,7 +35,8 @@ def main():
     enable_compilation_cache()
 
     from lhrs_bot_tpu.models.perceiver import (
-        PerceiverConfig, init_perceiver_params, perceiver_resample)
+        PerceiverConfig, init_perceiver_params, pack_perceiver_kv,
+        perceiver_resample)
     from lhrs_bot_tpu.models.vit import (ViTConfig, init_vit_params,
                                          vit_encode_fused)
     from lhrs_bot_tpu.ops.quant import quantize_vision_layers
@@ -47,6 +50,7 @@ def main():
     vp = cast(init_vit_params(k1, vit_cfg))
     pp = cast(init_perceiver_params(k2, pool_cfg))
     pq = {**pp, "layers": quantize_vision_layers(pp["layers"])}
+    pqh = jax.jit(pack_perceiver_kv)(pq)  # hoisted K/V (W8A8)
     packed = jax.jit(pack_vit_layers_fused)(vp["layers"])
     jax.block_until_ready(packed)
 
@@ -83,10 +87,13 @@ def main():
             out[f"tower_g{g}_p{pair}"] = round(
                 timed(tower, vp, packed, images), 1)
             out[f"combined_g{g}_p{pair}"] = round(
-                timed(combined, vp, packed, pq, images), 1)
+                timed(combined, vp, packed, pqh, images), 1)
         except Exception as exc:  # noqa: BLE001
             out[f"g{g}_p{pair}_error"] = str(exc)[:150]
         print(json.dumps(out), flush=True)
+
+    if args.skip_glue:
+        return
 
     # glue cost: perceiver alone on precomputed features
     feats = jax.jit(lambda v, p, i: vit_encode_fused(v, p, i, vit_cfg))(
@@ -99,6 +106,7 @@ def main():
                                           compute_dtype=jnp.bfloat16))
 
     out["perceiver_only_img_s"] = round(timed(pool_only, pq, feats), 1)
+    out["perceiver_hoisted_img_s"] = round(timed(pool_only, pqh, feats), 1)
     print(json.dumps(out), flush=True)
 
 

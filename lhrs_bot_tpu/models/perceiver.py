@@ -99,6 +99,72 @@ def init_perceiver_params(rng: jax.Array, cfg: PerceiverConfig,
     return params
 
 
+def _normalize_rows(x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """LayerNorm without the affine (fp32 stats, cast back)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * jnp.reciprocal(jnp.sqrt(var + eps))).astype(x.dtype)
+
+
+def pack_perceiver_kv(params):
+    """Precompute the hoisted K/V projection for perceiver_resample.
+
+    The perceiver's kv tokens (initial group queries + level tokens) are
+    FIXED across the 6 layers — only the per-layer kv-LayerNorm affine and
+    the per-layer wk/wv differ. Both fold into the weights:
+        ln(x)@w + b = x_hat @ (diag(ln_scale) w) + (ln_bias @ w + b)
+    so all 2*L projections become ONE (h, 2*L*h) matmul over the normalized
+    kv rows, hoisted out of the layer scan. On v5e this moves ~half the
+    perceiver FLOPs from per-layer (h, h) launches to a single chain-rate
+    matmul (int8-quantized once, directly from the folded f32 weights).
+
+    Returns params with extra entries {"kv_big_w", "kv_big_b"};
+    perceiver_resample uses them automatically.
+    """
+    from ..ops.quant import QuantizedTensor, dequantize, quantize_int8
+
+    layers = params["layers"]
+    quantized = isinstance(layers["wk"], QuantizedTensor)
+
+    def dense(w):
+        return (dequantize(w) if isinstance(w, QuantizedTensor)
+                else w.astype(jnp.float32))
+
+    wk, wv = dense(layers["wk"]), dense(layers["wv"])  # (L, h, h)
+    s = layers["ln_kv_scale"].astype(jnp.float32)  # (L, h)
+    t = layers["ln_kv_bias"].astype(jnp.float32)
+    bk = jnp.einsum("li,lio->lo", t, wk) + layers["bk"].astype(jnp.float32)
+    bv = jnp.einsum("li,lio->lo", t, wv) + layers["bv"].astype(jnp.float32)
+    big = jnp.stack([s[:, :, None] * wk, s[:, :, None] * wv])  # (2, L, h, h)
+    L, h = wk.shape[0], wk.shape[1]
+    w_big = big.transpose(2, 0, 1, 3).reshape(h, 2 * L * h)
+    b_big = jnp.stack([bk, bv]).reshape(2 * L * h)
+    if quantized:
+        w_big = quantize_int8(w_big, axis=-2)
+    else:
+        w_big = w_big.astype(layers["wk"].dtype)
+    return {**params, "kv_big_w": w_big, "kv_big_b": b_big}
+
+
+def _cross_block_kv(q_tokens, k, v, lp, cfg: PerceiverConfig):
+    """_cross_block with K/V precomputed (hoisted out of the layer scan).
+    k, v: (B, Skv, h) in compute dtype."""
+    b, sq, h = q_tokens.shape
+    skv = k.shape[1]
+    qn = layer_norm(q_tokens, lp["ln1_scale"], lp["ln1_bias"], cfg.ln_eps)
+    q = dense_any(qn, lp["wq"], lp["bq"]).astype(q_tokens.dtype)
+    q = q.reshape(b, sq, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, skv, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, skv, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    attn = flash_attention(q, kh, vh, None, causal=False)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, sq, h)
+    x = q_tokens + dense_any(attn, lp["wo"], lp["bo"]).astype(q_tokens.dtype)
+    h2 = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.ln_eps)
+    return x + gelu_mlp(h2, lp["w_fc"], lp["b_fc"], lp["w_proj"],
+                        lp["b_proj"], quick_gelu=False)
+
+
 def _cross_block(q_tokens, kv_tokens, lp, cfg: PerceiverConfig, kv_mask=None):
     """One pre-LN cross-attention block; kv_tokens already fixed per group."""
     b, sq, h = q_tokens.shape
@@ -263,14 +329,44 @@ def perceiver_resample(
             q_off += nq
             img_off += nkv
 
+        kvp = None
+        if "kv_big_w" in params:
+            # hoisted K/V (pack_perceiver_kv): one chain-rate matmul over
+            # the normalized kv rows of all groups, all layers at once
+            kv_all = jnp.concatenate(
+                [jnp.concatenate([q0, img], axis=1)
+                 for q0, img in zip(q_groups, img_groups)], axis=1)
+            xhat = _normalize_rows(kv_all, cfg.ln_eps)
+            kv_proj = dense_any(
+                xhat, params["kv_big_w"],
+                params["kv_big_b"].astype(jnp.float32)
+            ).astype(compute_dtype)  # (B, R, 2*L*h)
+            n_rows = kv_all.shape[1]
+            L = cfg.num_layers
+            h = cfg.hidden_size
+            kvp = kv_proj.reshape(b, n_rows, 2, L, h).transpose(3, 2, 0, 1, 4)
+
         outs = []
+        row_off = 0
         for q0, img in zip(q_groups, img_groups):
-            kv_fixed = jnp.concatenate([q0, img], axis=1)
+            if kvp is not None:
+                rows = q0.shape[1] + img.shape[1]
+                k_g = kvp[:, 0, :, row_off:row_off + rows]  # (L, B, rows, h)
+                v_g = kvp[:, 1, :, row_off:row_off + rows]
+                row_off += rows
 
-            def body(carry, lp):
-                return _cross_block(carry, kv_fixed, lp, cfg), None
+                def body_kv(carry, xs):
+                    lp, k_l, v_l = xs
+                    return _cross_block_kv(carry, k_l, v_l, lp, cfg), None
 
-            out, _ = jax.lax.scan(body, q0, layers)
+                out, _ = jax.lax.scan(body_kv, q0, (layers, k_g, v_g))
+            else:
+                kv_fixed = jnp.concatenate([q0, img], axis=1)
+
+                def body(carry, lp):
+                    return _cross_block(carry, kv_fixed, lp, cfg), None
+
+                out, _ = jax.lax.scan(body, q0, layers)
             outs.append(out)
         pooled = jnp.concatenate(outs, axis=1)  # (B, num_query, hidden)
     return (

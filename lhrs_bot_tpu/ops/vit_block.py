@@ -58,6 +58,38 @@ from jax.experimental.pallas import tpu as pltpu
 from .quant import quantize_int8
 
 _NEG_INF = -1e30
+_LOG2E = 1.4426950408889634  # scores feed exp2 (cheaper than exp on VPU)
+
+# softmax strategy inside the fused kernels (tuning knob):
+#   jnn       — jax.nn.softmax (scores must NOT carry the log2e fold)
+#   exp2_post — unnormalized exp2, 1/denom applied to the (d, S) PV output
+#   exp2_pre  — exp2, reciprocal multiply on the (S, S) probs
+# Measured on v5e (B=64, g=8, p=2 tower img/s): jnn 1077, exp2_post 1051,
+# exp2_pre ~same — the exp→exp2 rewrite is a wash (Mosaic already lowers
+# jax.nn.softmax's exp efficiently); jnn kept as the default.
+import os as _os
+
+_SOFTMAX_MODE = _os.environ.get("LHRS_VIT_SOFTMAX", "jnn")
+
+
+def _attn_probs_and_norm(scores):
+    """scores (Sq, Sk) f32 (already masked; exp2-scaled unless mode=jnn) →
+    (probs bf16, post_recip or None). post_recip (1, Sq) multiplies the PV
+    output when normalization is deferred."""
+    if _SOFTMAX_MODE == "jnn":
+        return jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16), None
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p_f = jnp.exp2(scores - m)
+    recip = 1.0 / jnp.sum(p_f, axis=-1, keepdims=True)  # (Sq, 1)
+    if _SOFTMAX_MODE == "exp2_pre":
+        return (p_f * recip).astype(jnp.bfloat16), None
+    return p_f.astype(jnp.bfloat16), jnp.transpose(recip)
+
+
+def _q_fold(sm_scale: float) -> float:
+    """Softmax-scale factor folded into the Q dequant rows; carries log2e
+    when the kernel softmax uses exp2."""
+    return sm_scale * (1.0 if _SOFTMAX_MODE == "jnn" else _LOG2E)
 
 
 def _ln_f32(xf, scale_ref, bias_ref, eps):
@@ -131,13 +163,14 @@ def _vit_block_grouped_kernel(
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)  # (3W, gS)
     hs_t = jnp.transpose(hs)  # (1, gS)
-    # softmax scale folded into the Q rows of the dequant epilogue (one
-    # (3W,1) VPU op) instead of per-head scaling inside the unrolled
-    # attention loop (64-128 ops/layer); bf16 is enough for attention
-    # inputs (heads cast to bf16 anyway) and halves the VMEM/VPU footprint
-    # of the (3W, gS) tensor
+    # softmax scale (x log2 e: scores feed exp2, not exp) folded into the
+    # Q rows of the dequant epilogue (one (3W,1) VPU op) instead of
+    # per-head scaling inside the unrolled attention loop (64-128
+    # ops/layer); bf16 is enough for attention inputs (heads cast to bf16
+    # anyway) and halves the VMEM/VPU footprint of the (3W, gS) tensor
     rows = jax.lax.broadcasted_iota(jnp.int32, (3 * w, 1), 0)
-    qrow = jnp.where(rows < w, jnp.float32(sm_scale), jnp.float32(1.0))
+    qrow = jnp.where(rows < w, jnp.float32(_q_fold(sm_scale)),
+                     jnp.float32(1.0))
     qkv_t = ((acc.astype(jnp.float32) * (sqkv_ref[...] * qrow)) * hs_t
              + bqkv_ref[...] * qrow).astype(jnp.bfloat16)
 
@@ -162,11 +195,11 @@ def _vit_block_grouped_kernel(
                 q_h, k_h, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (pS_q, pS_k)
             scores = jnp.where(kv_mask, scores, _NEG_INF)
-            probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+            probs, post = _attn_probs_and_norm(scores)
             out_h = jax.lax.dot_general(
                 v_h, probs, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (d, pS_q)
-            head_outs.append(out_h)
+            head_outs.append(out_h if post is None else out_h * post)
         img_outs.append(jnp.concatenate(head_outs, axis=0))  # (W, pS)
     attn_t = jnp.concatenate(img_outs, axis=1)  # (W, gS) f32
 
@@ -224,11 +257,12 @@ def _vit_block_one(
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)  # (3W, S)
     hs_t = jnp.transpose(hs)  # (1, S)
-    # softmax scale folded into the Q rows of the dequant epilogue (see
-    # grouped kernel); one bf16 cast for the whole tensor instead of
+    # softmax scale x log2e folded into the Q rows of the dequant epilogue
+    # (see grouped kernel); one bf16 cast for the whole tensor instead of
     # per-head casts in the unrolled loop
     rows = jax.lax.broadcasted_iota(jnp.int32, (3 * w, 1), 0)
-    qrow = jnp.where(rows < w, jnp.float32(sm_scale), jnp.float32(1.0))
+    qrow = jnp.where(rows < w, jnp.float32(_q_fold(sm_scale)),
+                     jnp.float32(1.0))
     qkv_t = (acc.astype(jnp.float32) * (sqkv_ref[...] * qrow) * hs_t
              + bqkv_ref[...] * qrow).astype(jnp.bfloat16)
 
@@ -243,11 +277,11 @@ def _vit_block_one(
             q_h, k_h, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (S_q, S_k)
         scores = jnp.where(kv_mask, scores, _NEG_INF)
-        probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+        probs, post = _attn_probs_and_norm(scores)
         out_h = jax.lax.dot_general(
             v_h, probs, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (d, S_q)
-        head_outs.append(out_h)
+        head_outs.append(out_h if post is None else out_h * post)
     attn_t = jnp.concatenate(head_outs, axis=0)  # (W, S) f32
 
     # O projection from the transposed layout (contract sublanes, native)

@@ -173,10 +173,29 @@ class GenerationEngine:
             # fused W8A8 Pallas vision blocks (ops/vit_block.py): ~20%
             # prefill throughput over the XLA W8A8 path, ~2.7% rel-L2
             # feature deviation vs bf16 — serving fast path, opt-in
+            from ..ops.quant import quantize_vision_layers
             from ..ops.vit_block import pack_vit_layers_fused
 
             self._vision_packed = jax.jit(pack_vit_layers_fused)(
                 params["vit"]["layers"])
+            # W8A8 perceiver to match the tower (and the headlined bench
+            # path): quantize the pooler projections once at load
+            self.params = {
+                **self.params,
+                "pooler": {
+                    **self.params["pooler"],
+                    "layers": jax.jit(quantize_vision_layers)(
+                        self.params["pooler"]["layers"]),
+                },
+            }
+        # hoisted K/V projection for the perceiver (the kv tokens are fixed
+        # across layers): one chain-rate matmul replaces 12 per-layer ones
+        from ..models.perceiver import pack_perceiver_kv
+
+        self.params = {
+            **self.params,
+            "pooler": jax.jit(pack_perceiver_kv)(self.params["pooler"]),
+        }
         if mesh is not None:
             # ICI-sharded decode: Megatron TP over the "model" axis
             from ..parallel.partition import shard_llama_for_serving
