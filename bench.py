@@ -138,8 +138,7 @@ def bench_prefill():
     import jax.numpy as jnp
 
     from lhrs_bot_tpu.models.perceiver import (
-        PerceiverConfig, init_perceiver_params, pack_perceiver_kv,
-        perceiver_resample)
+        PerceiverConfig, init_perceiver_params, perceiver_resample)
     from lhrs_bot_tpu.models.vit import ViTConfig, init_vit_params, vit_encode
 
     vit_cfg = ViTConfig.vit_large()
@@ -197,9 +196,7 @@ def bench_prefill():
         float(prefill_fused(vp, packed, pparams, images))
         return batch * iters / (time.perf_counter() - t0)
 
-    # hoisted perceiver K/V (pack_perceiver_kv): the serving-engine path
-    pqh = jax.jit(pack_perceiver_kv)(pq)
-    fused = measure_fused(pqh)
+    fused = measure_fused(pq)
     return bf16, w8a8, fused
 
 

@@ -87,7 +87,7 @@ def main():
             out[f"tower_g{g}_p{pair}"] = round(
                 timed(tower, vp, packed, images), 1)
             out[f"combined_g{g}_p{pair}"] = round(
-                timed(combined, vp, packed, pqh, images), 1)
+                timed(combined, vp, packed, pq, images), 1)
         except Exception as exc:  # noqa: BLE001
             out[f"g{g}_p{pair}_error"] = str(exc)[:150]
         print(json.dumps(out), flush=True)

@@ -115,9 +115,15 @@ def pack_perceiver_kv(params):
     the per-layer wk/wv differ. Both fold into the weights:
         ln(x)@w + b = x_hat @ (diag(ln_scale) w) + (ln_bias @ w + b)
     so all 2*L projections become ONE (h, 2*L*h) matmul over the normalized
-    kv rows, hoisted out of the layer scan. On v5e this moves ~half the
-    perceiver FLOPs from per-layer (h, h) launches to a single chain-rate
-    matmul (int8-quantized once, directly from the folded f32 weights).
+    kv rows, hoisted out of the layer scan (int8-quantized once, directly
+    from the folded f32 weights).
+
+    MEASURED NEGATIVE on v5e at the B=64 prefill point: 2046 img/s
+    perceiver-only (unrolled static slices) / 1803 (scan layout) vs 2556
+    for the per-layer path — the per-layer K/V matmuls (M≈20k rows) already
+    run near chain rate, and the hoist pays a (B, R, 2·L·h) HBM
+    materialization that outweighs the launch savings. Kept as an opt-in
+    for small-batch regimes; the serving engine does NOT apply it.
 
     Returns params with extra entries {"kv_big_w", "kv_big_b"};
     perceiver_resample uses them automatically.
@@ -344,22 +350,34 @@ def perceiver_resample(
             n_rows = kv_all.shape[1]
             L = cfg.num_layers
             h = cfg.hidden_size
-            kvp = kv_proj.reshape(b, n_rows, 2, L, h).transpose(3, 2, 0, 1, 4)
+            # keep the matmul's natural layout; layers are consumed with
+            # STATIC slices in an unrolled loop (L is small) — a scan would
+            # force a (L, 2, B, R, h) transpose materialization, which
+            # measured slower than the un-hoisted path
+            kvp = kv_proj.reshape(b, n_rows, 2, L, h)
 
         outs = []
         row_off = 0
         for q0, img in zip(q_groups, img_groups):
             if kvp is not None:
                 rows = q0.shape[1] + img.shape[1]
-                k_g = kvp[:, 0, :, row_off:row_off + rows]  # (L, B, rows, h)
-                v_g = kvp[:, 1, :, row_off:row_off + rows]
+                from ..ops.quant import QuantizedTensor
+
+                def layer_slice(x, l):
+                    if isinstance(x, QuantizedTensor):
+                        return QuantizedTensor(x.q[l], x.scale[l],
+                                               bits=x.bits)
+                    return x[l]
+
+                out = q0
+                for l in range(cfg.num_layers):
+                    lp = jax.tree_util.tree_map(
+                        lambda x, l=l: layer_slice(x, l), layers,
+                        is_leaf=lambda x: isinstance(x, QuantizedTensor))
+                    k_l = kvp[:, row_off:row_off + rows, 0, l]
+                    v_l = kvp[:, row_off:row_off + rows, 1, l]
+                    out = _cross_block_kv(out, k_l, v_l, lp, cfg)
                 row_off += rows
-
-                def body_kv(carry, xs):
-                    lp, k_l, v_l = xs
-                    return _cross_block_kv(carry, k_l, v_l, lp, cfg), None
-
-                out, _ = jax.lax.scan(body_kv, q0, (layers, k_g, v_g))
             else:
                 kv_fixed = jnp.concatenate([q0, img], axis=1)
 

@@ -188,14 +188,11 @@ class GenerationEngine:
                         self.params["pooler"]["layers"]),
                 },
             }
-        # hoisted K/V projection for the perceiver (the kv tokens are fixed
-        # across layers): one chain-rate matmul replaces 12 per-layer ones
-        from ..models.perceiver import pack_perceiver_kv
-
-        self.params = {
-            **self.params,
-            "pooler": jax.jit(pack_perceiver_kv)(self.params["pooler"]),
-        }
+        # NOTE: the hoisted perceiver K/V projection (pack_perceiver_kv) is
+        # NOT applied: measured SLOWER on v5e at the B=64 prefill point
+        # (2046 vs 2556 img/s perceiver-only) — the per-layer K/V matmuls
+        # already run near chain rate and the hoist pays a (B, 912, 12·1024)
+        # HBM materialization. See benchmarks/ROOFLINE_prefill.md.
         if mesh is not None:
             # ICI-sharded decode: Megatron TP over the "model" axis
             from ..parallel.partition import shard_llama_for_serving
