@@ -106,6 +106,8 @@ def w8a8_matmul(x: jnp.ndarray, qt: "QuantizedTensor",
 
 
 def quantize_int4(w: jnp.ndarray, axis: int = -2) -> QuantizedTensor:
+    # nibbles pack along the contraction axis, which must be axis -2
+    assert axis % w.ndim == w.ndim - 2, (axis, w.shape)
     wf = w.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
     scale = absmax / 7.0
@@ -115,22 +117,26 @@ def quantize_int4(w: jnp.ndarray, axis: int = -2) -> QuantizedTensor:
 
 
 def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
-    """(2n, ...) int8 in [-8, 7] → (n, ...) int8 with two nibbles."""
-    assert q.shape[0] % 2 == 0
-    lo = q[0::2] & 0x0F
-    hi = (q[1::2] & 0x0F) << 4
+    """(…, 2n, out) int8 in [-8, 7] → (…, n, out) with two nibbles.
+
+    Packs along axis -2 — the contraction axis of both unstacked (in, out)
+    and stacked (L, in, out) weights — so per-layer lax.scan slicing of a
+    stacked QuantizedTensor keeps q and its (L, 1, out) scales aligned."""
+    assert q.shape[-2] % 2 == 0
+    lo = q[..., 0::2, :] & 0x0F
+    hi = (q[..., 1::2, :] & 0x0F) << 4
     return (lo | hi).astype(jnp.int8)
 
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_int4: (…, n, out) → (…, 2n, out), interleaved
+    lo0, hi0, lo1, hi1, … along axis -2. Stack+reshape (not a strided
+    scatter) so XLA can fuse the unpack into the consuming matmul."""
     lo = (packed << 4).astype(jnp.int8) >> 4  # sign-extend low nibble
     hi = packed.astype(jnp.int8) >> 4
-    n = packed.shape[0]
-    out_shape = (2 * n,) + packed.shape[1:]
-    out = jnp.zeros(out_shape, jnp.int8)
-    out = out.at[0::2].set(lo)
-    out = out.at[1::2].set(hi)
-    return out
+    inter = jnp.stack([lo, hi], axis=-2)  # (…, n, 2, out)
+    out_shape = packed.shape[:-2] + (2 * packed.shape[-2],) + packed.shape[-1:]
+    return inter.reshape(out_shape)
 
 
 # ---------------------------------------------------------------------------
