@@ -296,6 +296,20 @@ class TestQuantizedEngine:
                     / (jnp.abs(l_fp).max() + 1e-9))
         assert rel < 0.15, rel
 
+    def test_int4_engine_generates(self):
+        """bits=4 (the reference's 4-bit recipe, text_modal.py:91-109):
+        packed-nibble weights through prefill + cached decode produce
+        finite logits and a full token budget."""
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        q4 = GenerationEngine(cfg, params, max_seq_len=64,
+                              compute_dtype=jnp.float32,
+                              cache_dtype=jnp.float32, quantize_bits=4)
+        ids = np.full((1, 6), 9, np.int32)
+        gcfg = GenerationConfig(max_new_tokens=4, eos_token_id=-1)
+        out = q4.generate(ids, np.asarray([6], np.int32), gen_cfg=gcfg)
+        assert len(out[0]) == 4
+
 
 class TestMeshEngine:
     @pytest.mark.parametrize("bits", [None, 8])
