@@ -10,7 +10,10 @@ deployment this module exposes a stdlib-only JSON API:
 
 Requests are enqueued; a background worker thread batches them through the
 ContinuousBatchingScheduler (greedy path) or the engine (sampling path), so
-concurrent users share decode ticks.
+concurrent users share decode ticks. `ServingFrontend.cancel(uid)` aborts a
+queued or in-flight request (freeing its decode slot mid-generation);
+`generate_blocking` cancels automatically when its timeout expires so an
+abandoned request cannot keep burning slot compute.
 """
 
 from __future__ import annotations
@@ -50,6 +53,8 @@ class ServingFrontend:
         self._events: Dict[int, threading.Event] = {}
         self._uid = 0
         self._uid_lock = threading.Lock()
+        self._cancelled: set = set()
+        self._cancel_lock = threading.Lock()
         self._poll = poll_interval
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -102,6 +107,20 @@ class ServingFrontend:
         self._queue.put(req)
         return ev
 
+    def cancel(self, uid: int) -> bool:
+        """Request cancellation of a queued or in-flight request. Applied
+        by the worker thread at its next loop iteration (ms): a queued
+        request is dropped before admission, an in-flight one has its slot
+        freed mid-generation (scheduler.cancel). The request's completion
+        event fires with done=True, cancelled=True. Returns False for an
+        unknown or already-finished uid."""
+        ev = self._events.get(uid)
+        if ev is None or ev.is_set():
+            return False
+        with self._cancel_lock:
+            self._cancelled.add(uid)
+        return True
+
     def stats(self) -> Dict[str, int]:
         return {"active": int(self.sched.active.sum()),
                 "queued": self._queue.qsize()}
@@ -120,6 +139,18 @@ class ServingFrontend:
                     pending.append(self._queue.get_nowait())
             except queue.Empty:
                 pass
+            if self._cancelled:
+                with self._cancel_lock:
+                    cancels = self._cancelled
+                    self._cancelled = set()
+                for req in pending:  # still queued: drop before admission
+                    if req.uid in cancels:
+                        req.cancelled = True
+                        req.done = True
+                        self._inflight.append(req)  # event set below
+                pending = [r for r in pending if not r.done]
+                for uid in cancels:  # in-flight: free the slot
+                    self.sched.cancel(uid)
             try:
                 if pending:
                     admitted = pending[:self.sched.admit(pending)]
@@ -163,11 +194,16 @@ class ServingFrontend:
         while not req.done and time.monotonic() < deadline:
             ev = self._events[req.uid]
             ev.wait(0.05)
+        if not req.done:
+            # timed out: cancel so the slot stops burning decode compute
+            self.cancel(req.uid)
         self._events.pop(req.uid, None)
         text = self.tokenizer.decode(req.output_ids,
                                      skip_special_tokens=True)
         if req.error is not None:
             reason = "error"
+        elif req.cancelled:
+            reason = "cancelled"
         elif req.done:
             reason = "stop"
         else:

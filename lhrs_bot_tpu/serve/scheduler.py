@@ -48,6 +48,7 @@ class Request:
     # filled by the scheduler:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    cancelled: bool = False
     error: Optional[str] = None
 
 
@@ -304,6 +305,23 @@ class ContinuousBatchingScheduler:
         else:
             req.output_ids.append(tok)
             self.last_tokens[slot] = tok
+
+    def cancel(self, uid: int) -> bool:
+        """Abort an in-flight request: marks it done+cancelled and frees
+        its slot immediately (the tick reads the host-side active mask, so
+        the slot stops consuming decode compute at the next dispatch and
+        is admittable right away). Tokens already emitted stay on the
+        request. Returns False if no active slot holds `uid`."""
+        for slot, req in enumerate(self.slot_req):
+            if req is not None and req.uid == uid:
+                req.cancelled = True
+                req.done = True
+                self.active[slot] = False
+                self.slot_req[slot] = None
+                self.slot_budget[slot] = 0
+                self.last_tokens[slot] = self.pad
+                return True
+        return False
 
     def step(self) -> int:
         """One decode tick (= `tokens_per_tick` tokens per active slot in a

@@ -99,6 +99,55 @@ class TestFrontendRobustness:
             frontend.shutdown()
 
 
+class TestFrontendCancel:
+    def test_cancel_in_flight_request(self):
+        import time
+
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        engine = GenerationEngine(cfg, params, max_seq_len=96,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.float32)
+        sched = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=2, max_seq_len=96,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+            eos_token_id=-1, prompt_bucket=16, tokens_per_tick=1)
+        frontend = ServingFrontend(sched, FakeTokenizer(), image_size=28)
+        try:
+            req = frontend.build_request("count to one thousand", None, 80)
+            ev = frontend.submit(req)
+            deadline = time.monotonic() + 60
+            while not req.output_ids and time.monotonic() < deadline:
+                time.sleep(0.01)
+            assert req.output_ids, "generation never started"
+            assert frontend.cancel(req.uid)
+            assert ev.wait(timeout=30)
+            assert req.done and req.cancelled
+            assert len(req.output_ids) < 80
+            assert not frontend.cancel(req.uid)  # already finished
+            # the freed slot still serves new work
+            out = frontend.generate_blocking("hello", None, 3, timeout=60)
+            assert out["finish_reason"] == "stop"
+        finally:
+            frontend.shutdown()
+
+    def test_cancel_unknown_uid(self):
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        engine = GenerationEngine(cfg, params, max_seq_len=64,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.float32)
+        sched = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=1, max_seq_len=64,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+            prompt_bucket=16)
+        frontend = ServingFrontend(sched, FakeTokenizer(), image_size=28)
+        try:
+            assert not frontend.cancel(12345)
+        finally:
+            frontend.shutdown()
+
+
 class TestServingAPI:
     def test_health(self, server):
         with urllib.request.urlopen(server + "/health", timeout=30) as resp:

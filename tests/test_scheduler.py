@@ -50,6 +50,29 @@ class TestScheduler:
             assert got[:len(expected[0])] == expected[0], (r.uid, got,
                                                            expected[0])
 
+    def test_cancel_frees_slot_mid_generation(self, setup):
+        cfg, params, engine, sched = setup
+        rng = np.random.default_rng(7)
+        a, b = (Request(uid=100 + i,
+                        input_ids=rng.integers(3, 200, size=(6,)
+                                               ).astype(np.int32),
+                        max_new_tokens=30) for i in range(2))
+        assert sched.admit([a, b]) == 2
+        sched.step()
+        n_at_cancel = len(a.output_ids)
+        assert sched.cancel(a.uid)
+        assert a.done and a.cancelled
+        assert not sched.cancel(a.uid)  # slot already released
+        # freed slot is immediately admittable while b keeps decoding
+        c = Request(uid=102, input_ids=rng.integers(
+            3, 200, size=(5,)).astype(np.int32), max_new_tokens=4)
+        assert sched.admit([c]) == 1
+        while sched.step():
+            pass
+        assert len(a.output_ids) == n_at_cancel  # no tokens after cancel
+        assert b.done and not b.cancelled and len(b.output_ids) >= 1
+        assert c.done and len(c.output_ids) >= 1
+
     def test_bucket_sizes(self):
         bs = ContinuousBatchingScheduler._bucket_sizes
         assert bs(1) == [1]
