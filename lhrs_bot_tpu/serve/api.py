@@ -6,6 +6,9 @@ deployment this module exposes a stdlib-only JSON API:
   POST /generate   {"prompt": str, "image_b64": optional base64 JPEG/PNG,
                     "max_new_tokens": int, "temperature": float}
                →   {"text": str, "tokens": [int], "finish_reason": str}
+  POST /generate_stream  same body → newline-delimited JSON, one
+                   {"token": int, "text_delta": str} per emitted token and
+                   a final {"done": true, "finish_reason": str, "text": str}
   GET  /health     → {"status": "ok", "active": int, "queued": int}
 
 Requests are enqueued; a background worker thread batches them through the
@@ -184,6 +187,36 @@ class ServingFrontend:
                     still.append(req)
             self._inflight = still
 
+    def stream_tokens(self, req: Request, poll: float = 0.01,
+                      timeout: float = 300.0):
+        """Submit `req` and yield its token ids as the scheduler emits them
+        (the worker thread appends to req.output_ids; this generator tails
+        it). The request shares decode ticks with all other slots — unlike
+        engine.stream, which owns the device. Closing the generator early
+        (client disconnect) or exceeding `timeout` cancels the request so
+        its slot is freed."""
+        import time
+
+        self.submit(req)
+        sent = 0
+        deadline = time.monotonic() + timeout
+        try:
+            while True:
+                n = len(req.output_ids)
+                while sent < n:
+                    yield req.output_ids[sent]
+                    sent += 1
+                if req.done and sent == len(req.output_ids):
+                    return
+                if time.monotonic() > deadline:
+                    self.cancel(req.uid)
+                    return
+                time.sleep(poll)
+        finally:
+            if not req.done:
+                self.cancel(req.uid)
+            self._events.pop(req.uid, None)
+
     def generate_blocking(self, prompt: str, image: Optional[np.ndarray],
                           max_new_tokens: int, timeout: float = 300.0):
         req = self.build_request(prompt, image, max_new_tokens)
@@ -234,24 +267,58 @@ def make_handler(frontend: ServingFrontend):
             else:
                 self._send(404, {"error": "not found"})
 
+        def _parse_body(self):
+            length = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            prompt = payload["prompt"]
+            image = None
+            if payload.get("image_b64"):
+                from PIL import Image
+
+                raw = base64.b64decode(payload["image_b64"])
+                image = np.asarray(
+                    Image.open(io.BytesIO(raw)).convert("RGB"))
+            return prompt, image, int(payload.get("max_new_tokens", 128))
+
+        def _stream(self, prompt, image, max_new_tokens):
+            """newline-delimited JSON: one {"token", "text_delta"} object
+            per emitted token, then a final {"done": true} record. A client
+            disconnect cancels the request (its slot frees mid-stream)."""
+            req = frontend.build_request(prompt, image, max_new_tokens)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            decoded = ""
+            ids = []
+            try:
+                for tok in frontend.stream_tokens(req):
+                    ids.append(tok)
+                    full = frontend.tokenizer.decode(
+                        ids, skip_special_tokens=True)
+                    delta, decoded = full[len(decoded):], full
+                    self.wfile.write(json.dumps(
+                        {"token": tok, "text_delta": delta}).encode()
+                        + b"\n")
+                    self.wfile.flush()
+                reason = ("error" if req.error is not None else
+                          "cancelled" if req.cancelled else "stop")
+                self.wfile.write(json.dumps(
+                    {"done": True, "finish_reason": reason,
+                     "text": decoded}).encode() + b"\n")
+            except (BrokenPipeError, ConnectionResetError):
+                frontend.cancel(req.uid)
+
         def do_POST(self):
-            if self.path != "/generate":
+            if self.path not in ("/generate", "/generate_stream"):
                 self._send(404, {"error": "not found"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length) or b"{}")
-                prompt = payload["prompt"]
-                image = None
-                if payload.get("image_b64"):
-                    from PIL import Image
-
-                    raw = base64.b64decode(payload["image_b64"])
-                    image = np.asarray(
-                        Image.open(io.BytesIO(raw)).convert("RGB"))
-                result = frontend.generate_blocking(
-                    prompt, image,
-                    int(payload.get("max_new_tokens", 128)))
+                prompt, image, max_new = self._parse_body()
+                if self.path == "/generate_stream":
+                    self._stream(prompt, image, max_new)
+                    return
+                result = frontend.generate_blocking(prompt, image, max_new)
                 self._send(200, result)
             except (KeyError, ValueError, json.JSONDecodeError) as exc:
                 self._send(400, {"error": f"bad request: {exc}"})
@@ -264,5 +331,6 @@ def make_handler(frontend: ServingFrontend):
 
 def serve(frontend: ServingFrontend, port: int = 8000):
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(frontend))
-    logger.info("serving API on :%d (POST /generate, GET /health)", port)
+    logger.info("serving API on :%d (POST /generate, "
+                "POST /generate_stream, GET /health)", port)
     server.serve_forever()

@@ -190,6 +190,62 @@ class TestServingAPI:
         assert len(results) == 4
         assert all(s == 200 for s, _ in results)
 
+    def test_generate_stream(self, server):
+        req = urllib.request.Request(
+            server + "/generate_stream",
+            data=json.dumps({"prompt": "stream me",
+                             "max_new_tokens": 4}).encode(),
+            headers={"Content-Type": "application/json"})
+        lines = []
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.headers["Content-Type"] == "application/x-ndjson"
+            for raw in resp:
+                lines.append(json.loads(raw))
+        assert lines[-1]["done"] is True
+        assert lines[-1]["finish_reason"] == "stop"
+        toks = [l["token"] for l in lines[:-1]]
+        assert 1 <= len(toks) <= 4
+        # deltas concatenate to the final text
+        assert "".join(l["text_delta"] for l in lines[:-1]) == \
+            lines[-1]["text"]
+
+    def test_stream_disconnect_cancels(self):
+        """Closing the streaming connection mid-generation frees the slot."""
+        import socket
+        import time
+
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        engine = GenerationEngine(cfg, params, max_seq_len=96,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.float32)
+        sched = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=1, max_seq_len=96,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+            eos_token_id=-1, prompt_bucket=16, tokens_per_tick=1)
+        frontend = ServingFrontend(sched, FakeTokenizer(), image_size=28)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                    make_handler(frontend))
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            body = json.dumps({"prompt": "never ending",
+                               "max_new_tokens": 80}).encode()
+            s = socket.create_connection(("127.0.0.1", httpd.server_port),
+                                         timeout=60)
+            s.sendall(b"POST /generate_stream HTTP/1.1\r\n"
+                      b"Host: x\r\nContent-Type: application/json\r\n"
+                      + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                      + body)
+            s.recv(512)  # headers + first chunk(s) started flowing
+            s.close()    # client walks away
+            deadline = time.monotonic() + 60
+            while sched.active.any() and time.monotonic() < deadline:
+                time.sleep(0.05)
+            assert not sched.active.any(), "slot never freed on disconnect"
+        finally:
+            httpd.shutdown()
+            frontend.shutdown()
+
     def test_bad_request(self, server):
         status, data = _post(server, {"no_prompt": True})
         assert status == 400
