@@ -4,7 +4,10 @@ The reference's only serving surface is the Gradio UI; for production-style
 deployment this module exposes a stdlib-only JSON API:
 
   POST /generate   {"prompt": str, "image_b64": optional base64 JPEG/PNG,
-                    "max_new_tokens": int, "temperature": float}
+                    "max_new_tokens": int, "temperature": float (0=greedy),
+                    "top_p": float} — sampling knobs are PER REQUEST even
+                    though requests share batched decode ticks (per-slot
+                    temperature/top-p inside the tick program)
                →   {"text": str, "tokens": [int], "finish_reason": str}
   POST /generate_stream  same body → newline-delimited JSON, one
                    {"token": int, "text_delta": str} per emitted token and
@@ -35,7 +38,7 @@ import numpy as np
 from ..data import conversation as conv_lib
 from ..data.preprocess import tokenizer_image_token
 from ..data.transforms import clip_preprocess_uint8
-from ..models.constants import DEFAULT_IMAGE_TOKEN
+from ..models.constants import DEFAULT_IMAGE_TOKEN, IMAGE_TOKEN_INDEX
 from .scheduler import ContinuousBatchingScheduler, Request
 
 logger = logging.getLogger("lhrs_tpu")
@@ -69,7 +72,9 @@ class ServingFrontend:
             return self._uid
 
     def build_request(self, prompt: str, image: Optional[np.ndarray],
-                      max_new_tokens: int) -> Request:
+                      max_new_tokens: int,
+                      temperature: Optional[float] = None,
+                      top_p: Optional[float] = None) -> Request:
         conv = conv_lib.conv_templates[self.prompt_template].copy()
         text = prompt
         # single-image invariant: the splice expands exactly one -200 token;
@@ -101,8 +106,23 @@ class ServingFrontend:
             np.int32)
         img = (clip_preprocess_uint8(image, self.image_size)
                if image is not None else None)
+        # a tokenizer/model vocab mismatch must fail HERE (-> HTTP 400),
+        # not downstream: embedding lookup fills out-of-vocab rows with NaN
+        # and the NaN logits argmax/sample to token 0 forever — the request
+        # would "succeed" with garbage.
+        cfg = getattr(self.sched, "cfg", None)
+        vocab = cfg.llama.vocab_size if cfg is not None else None
+        bad = (ids[(ids != IMAGE_TOKEN_INDEX)
+                   & ((ids < 0) | (ids >= vocab))]
+               if vocab is not None else np.empty(0, np.int32))
+        if bad.size:
+            raise ValueError(
+                f"tokenizer produced ids outside the model vocabulary "
+                f"(vocab_size={vocab}, offending ids {bad[:8].tolist()}) — "
+                f"tokenizer/model mismatch")
         return Request(uid=self._next_uid(), input_ids=ids, image=img,
-                       max_new_tokens=max_new_tokens)
+                       max_new_tokens=max_new_tokens,
+                       temperature=temperature, top_p=top_p)
 
     def submit(self, req: Request) -> threading.Event:
         ev = threading.Event()
@@ -218,8 +238,11 @@ class ServingFrontend:
             self._events.pop(req.uid, None)
 
     def generate_blocking(self, prompt: str, image: Optional[np.ndarray],
-                          max_new_tokens: int, timeout: float = 300.0):
-        req = self.build_request(prompt, image, max_new_tokens)
+                          max_new_tokens: int, timeout: float = 300.0,
+                          temperature: Optional[float] = None,
+                          top_p: Optional[float] = None):
+        req = self.build_request(prompt, image, max_new_tokens,
+                                 temperature=temperature, top_p=top_p)
         self.submit(req)
         import time
 
@@ -278,13 +301,20 @@ def make_handler(frontend: ServingFrontend):
                 raw = base64.b64decode(payload["image_b64"])
                 image = np.asarray(
                     Image.open(io.BytesIO(raw)).convert("RGB"))
-            return prompt, image, int(payload.get("max_new_tokens", 128))
+            temp = payload.get("temperature")
+            top_p = payload.get("top_p")
+            return (prompt, image, int(payload.get("max_new_tokens", 128)),
+                    None if temp is None else float(temp),
+                    None if top_p is None else float(top_p))
 
-        def _stream(self, prompt, image, max_new_tokens):
+        def _stream(self, prompt, image, max_new_tokens,
+                    temperature, top_p):
             """newline-delimited JSON: one {"token", "text_delta"} object
             per emitted token, then a final {"done": true} record. A client
             disconnect cancels the request (its slot frees mid-stream)."""
-            req = frontend.build_request(prompt, image, max_new_tokens)
+            req = frontend.build_request(prompt, image, max_new_tokens,
+                                         temperature=temperature,
+                                         top_p=top_p)
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
             self.send_header("Cache-Control", "no-cache")
@@ -314,11 +344,12 @@ def make_handler(frontend: ServingFrontend):
                 self._send(404, {"error": "not found"})
                 return
             try:
-                prompt, image, max_new = self._parse_body()
+                prompt, image, max_new, temp, top_p = self._parse_body()
                 if self.path == "/generate_stream":
-                    self._stream(prompt, image, max_new)
+                    self._stream(prompt, image, max_new, temp, top_p)
                     return
-                result = frontend.generate_blocking(prompt, image, max_new)
+                result = frontend.generate_blocking(
+                    prompt, image, max_new, temperature=temp, top_p=top_p)
                 self._send(200, result)
             except (KeyError, ValueError, json.JSONDecodeError) as exc:
                 self._send(400, {"error": f"bad request: {exc}"})

@@ -57,6 +57,26 @@ def _sample_token(logits: jnp.ndarray, rng: jax.Array,
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
+def _sample_token_per_slot(logits: jnp.ndarray, rng: jax.Array,
+                           temp: jnp.ndarray,
+                           top_p: jnp.ndarray) -> jnp.ndarray:
+    """Per-row sampling for shared continuous batches: logits (B, V) with
+    per-slot temperature (B,) and top-p (B,). Rows with temp <= 0 decode
+    greedily; others sample temperature/top-p — so one batch can mix a
+    greedy eval request with a T=0.4 chat request (the engine-level
+    _sample_token applies ONE GenerationConfig to the whole batch)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temp, 1e-6)[:, None]
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p[:, None], axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+    masked = jnp.where(scaled < cutoff, -1e30, scaled)
+    sampled = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
+    return jnp.where(temp > 0, sampled, greedy)
+
+
 def _is_host_tree(llama_params) -> bool:
     """True when every decoder leaf is a host (numpy) array — the
     load_pretrained / load_orbax_params output, not device-resident."""

@@ -36,7 +36,8 @@ import numpy as np
 
 from ..models.llama import KVCache, llama_decode_step, llama_prefill
 from ..models.vlm import VLMConfig, prepare_multimodal_inputs
-from .engine import GenerationConfig, _sample_token
+from .engine import (GenerationConfig, _sample_token,
+                     _sample_token_per_slot)
 
 
 @dataclasses.dataclass
@@ -45,6 +46,10 @@ class Request:
     input_ids: np.ndarray  # (T,) prompt token ids (may contain -200)
     image: Optional[np.ndarray] = None  # (H, W, 3) uint8
     max_new_tokens: int = 128
+    # per-request sampling (None -> the scheduler's GenerationConfig
+    # defaults); temperature 0 means greedy regardless of top_p
+    temperature: Optional[float] = None
+    top_p: Optional[float] = None
     # filled by the scheduler:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -101,6 +106,12 @@ class ContinuousBatchingScheduler:
         self.slot_budget = np.zeros(max_batch, np.int32)
         self.last_tokens = np.full(max_batch, pad_token_id, np.int32)
         self.active = np.zeros(max_batch, bool)
+        # per-slot sampling knobs (temp <= 0 -> greedy row)
+        g = self.gen_cfg
+        self._default_temp = float(g.temperature) if g.do_sample else 0.0
+        self._default_top_p = float(g.top_p)
+        self.slot_temp = np.zeros(max_batch, np.float32)
+        self.slot_top_p = np.ones(max_batch, np.float32)
 
         # params are explicit jit ARGUMENTS, not closure captures: captured
         # constants are baked into every compiled program (7 GB shipped per
@@ -108,7 +119,8 @@ class ContinuousBatchingScheduler:
         self._prefill_jit = jax.jit(self._prefill,
                                     static_argnames=("width",),
                                     donate_argnums=(4,))
-        self._tick_jit = jax.jit(self._tick, donate_argnums=(2,))
+        self._tick_jit = jax.jit(self._tick, donate_argnums=(2,),
+                                 static_argnames=("sample",))
 
     @staticmethod
     def _bucket_sizes(n: int):
@@ -131,12 +143,13 @@ class ContinuousBatchingScheduler:
         """Change the decode chunk size; only the tick program recompiles
         (the prefill programs are unaffected)."""
         self.tokens_per_tick = max(1, int(k))
-        self._tick_jit = jax.jit(self._tick, donate_argnums=(2,))
+        self._tick_jit = jax.jit(self._tick, donate_argnums=(2,),
+                                 static_argnames=("sample",))
 
     # -- jitted programs ------------------------------------------------------
 
     def _prefill(self, params, llama_params, input_ids, images, cache,
-                 slot_idx, seq_lens, rng, *, width: int):
+                 slot_idx, seq_lens, rng, temps, top_ps, *, width: int):
         """Prefill a BUCKETED batch of `width`-wide prompts (input_ids is
         (b, width) for b = a power-of-two chunk of the admission, NOT
         max_batch) and scatter the resulting KV rows into the slots named
@@ -167,20 +180,26 @@ class ContinuousBatchingScheduler:
             v_scale=(None if cache.v_scale is None
                      else cache.v_scale.at[:, slot_idx].set(tmp.v_scale)),
         )
-        first = _sample_token(logits, rng, self.gen_cfg)
+        first = _sample_token_per_slot(logits, rng, temps, top_ps)
         return first, new_cache
 
-    def _tick(self, llama_params, tokens, cache, active, budgets, rng):
+    def _tick(self, llama_params, tokens, cache, active, budgets, rng,
+              temps, top_ps, *, sample: bool):
         """`tokens_per_tick` decode steps over all slots in one lax.scan.
 
         A slot freezes the moment it emits EOS or exhausts its budget:
         its cache length stops growing and later emissions are masked to
         pad, so the k-step chunk is token-for-token identical to k
-        single-step ticks for GREEDY decoding. When do_sample=True the RNG
+        single-step ticks for GREEDY decoding. When a slot samples the RNG
         stream differs (one split per tick here vs one per token at k=1),
         so sampled outputs are distributionally equivalent but not
         bit-identical across k. Emits (k, B) tokens plus the (k, B) mask
-        of which emissions were live."""
+        of which emissions were live.
+
+        `sample` is static: the all-greedy tick (the eval/bench workload)
+        must not pay the per-slot top-p sort over the 32k vocab every
+        step — step() dispatches sample=True only while some active slot
+        actually has temperature > 0."""
 
         def body(carry, step_rng):
             toks, cache, act, budg = carry
@@ -189,7 +208,11 @@ class ContinuousBatchingScheduler:
             logits, new_cache = llama_decode_step(
                 llama_params, self.cfg.llama, cache,
                 inputs_embeds=embeds, compute_dtype=self.compute_dtype)
-            nxt = _sample_token(logits, step_rng, self.gen_cfg)
+            if sample:
+                nxt = _sample_token_per_slot(logits, step_rng, temps,
+                                             top_ps)
+            else:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             emit = jnp.where(act, nxt, self.pad)
             budg = jnp.where(act, budg - 1, budg)
             new_act = act & (nxt != self.eos) & (budg > 0)
@@ -266,12 +289,22 @@ class ContinuousBatchingScheduler:
             if imgs is not None and req.image is not None:
                 imgs[row] = req.image
 
+        temps = np.asarray(
+            [self._default_temp if r.temperature is None else r.temperature
+             for r in batch], np.float32)
+        top_ps = np.asarray(
+            [self._default_top_p if r.top_p is None else r.top_p
+             for r in batch], np.float32)
+        for slot, t, tp in zip(slots, temps, top_ps):
+            self.slot_temp[slot] = t
+            self.slot_top_p[slot] = tp
         self._rng, step_rng = jax.random.split(self._rng)
         first, self.cache = self._prefill_jit(
             self.params, self.llama_params,
             jnp.asarray(ids), jnp.asarray(imgs) if imgs is not None else None,
             self.cache, jnp.asarray(np.asarray(slots, np.int32)),
-            jnp.asarray(lens), step_rng, width=width)
+            jnp.asarray(lens), step_rng, jnp.asarray(temps),
+            jnp.asarray(top_ps), width=width)
         first_host = np.asarray(first)
 
         for row, (slot, req) in enumerate(zip(slots, batch)):
@@ -332,7 +365,9 @@ class ContinuousBatchingScheduler:
         toks, live, self.cache = self._tick_jit(
             self.llama_params, jnp.asarray(self.last_tokens), self.cache,
             jnp.asarray(self.active), jnp.asarray(self.slot_budget),
-            step_rng)
+            step_rng, jnp.asarray(self.slot_temp),
+            jnp.asarray(self.slot_top_p),
+            sample=bool(self.slot_temp[self.active].max(initial=0.0) > 0))
         toks_host = np.asarray(toks)   # (k, B)
         live_host = np.asarray(live)   # (k, B) — which emissions were real
         for k in range(toks_host.shape[0]):

@@ -31,7 +31,8 @@ def server():
         cfg, params, engine.llama_params, max_batch=2, max_seq_len=96,
         compute_dtype=jnp.float32, cache_dtype=jnp.float32,
         prompt_bucket=16)
-    frontend = ServingFrontend(sched, FakeTokenizer(), image_size=28)
+    frontend = ServingFrontend(sched, FakeTokenizer(cfg.llama.vocab_size),
+                               image_size=28)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(frontend))
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
@@ -112,7 +113,8 @@ class TestFrontendCancel:
             cfg, params, engine.llama_params, max_batch=2, max_seq_len=96,
             compute_dtype=jnp.float32, cache_dtype=jnp.float32,
             eos_token_id=-1, prompt_bucket=16, tokens_per_tick=1)
-        frontend = ServingFrontend(sched, FakeTokenizer(), image_size=28)
+        frontend = ServingFrontend(sched, FakeTokenizer(cfg.llama.vocab_size),
+                               image_size=28)
         try:
             req = frontend.build_request("count to one thousand", None, 80)
             ev = frontend.submit(req)
@@ -141,7 +143,8 @@ class TestFrontendCancel:
             cfg, params, engine.llama_params, max_batch=1, max_seq_len=64,
             compute_dtype=jnp.float32, cache_dtype=jnp.float32,
             prompt_bucket=16)
-        frontend = ServingFrontend(sched, FakeTokenizer(), image_size=28)
+        frontend = ServingFrontend(sched, FakeTokenizer(cfg.llama.vocab_size),
+                               image_size=28)
         try:
             assert not frontend.cancel(12345)
         finally:
@@ -223,7 +226,8 @@ class TestServingAPI:
             cfg, params, engine.llama_params, max_batch=1, max_seq_len=96,
             compute_dtype=jnp.float32, cache_dtype=jnp.float32,
             eos_token_id=-1, prompt_bucket=16, tokens_per_tick=1)
-        frontend = ServingFrontend(sched, FakeTokenizer(), image_size=28)
+        frontend = ServingFrontend(sched, FakeTokenizer(cfg.llama.vocab_size),
+                               image_size=28)
         httpd = ThreadingHTTPServer(("127.0.0.1", 0),
                                     make_handler(frontend))
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -250,6 +254,43 @@ class TestServingAPI:
         status, data = _post(server, {"no_prompt": True})
         assert status == 400
         assert "error" in data
+
+    def test_per_request_sampling_over_http(self, server):
+        """temperature/top_p ride the JSON body: explicit temperature=0
+        equals the default greedy result; a hot temperature diverges
+        across calls (the tick program samples per slot)."""
+        base = {"prompt": "describe the scene", "max_new_tokens": 6}
+        _, greedy_default = _post(server, dict(base))
+        _, greedy_explicit = _post(server, dict(base, temperature=0.0))
+        assert greedy_default["tokens"] == greedy_explicit["tokens"]
+        hot = {tuple(_post(server, dict(base, temperature=20.0,
+                                        top_p=1.0))[1]["tokens"])
+               for _ in range(4)}
+        assert len(hot) > 1, "temperature=20 never diverged over HTTP"
+
+    def test_vocab_mismatch_rejected(self):
+        """A tokenizer emitting ids beyond the model vocab must 400 at
+        request build: out-of-vocab embedding rows are NaN-filled and the
+        NaN logits argmax to token 0 forever — a silent-garbage failure."""
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        engine = GenerationEngine(cfg, params, max_seq_len=64,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.float32)
+        sched = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=1, max_seq_len=64,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+            prompt_bucket=16)
+        frontend = ServingFrontend(sched, FakeTokenizer(vocab_size=2000),
+                                   image_size=28)
+        try:
+            # enough distinct words that at least one hashes >= 256 with
+            # overwhelming probability under any PYTHONHASHSEED
+            words = " ".join(f"w{i}xq" for i in range(16))
+            with pytest.raises(ValueError, match="vocab"):
+                frontend.build_request(words, None, 4)
+        finally:
+            frontend.shutdown()
 
     def test_unknown_route(self, server):
         try:

@@ -349,7 +349,7 @@ class TestEvalProtocols:
         cfg, params, engine = setup
         from tests.fake_tokenizer import FakeTokenizer
 
-        tok = FakeTokenizer()
+        tok = FakeTokenizer(cfg.llama.vocab_size)
 
         class ToyClsDS:
             class_names = ["river", "forest"]

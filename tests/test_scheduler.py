@@ -188,6 +188,60 @@ class TestSamplingScheduler:
         # same prompts, high temperature: some outputs should differ
         assert len({tuple(r.output_ids) for r in reqs}) > 1
 
+    def test_per_request_sampling_mixed_batch(self, setup):
+        """One shared batch mixes greedy and sampled slots: a greedy eval
+        request riding with a T=1.5 chat request must produce EXACTLY the
+        all-greedy scheduler's tokens (Request.temperature overrides the
+        scheduler default per slot)."""
+        cfg, params, engine, _ = setup
+
+        def make(default_sampling):
+            return ContinuousBatchingScheduler(
+                cfg, params, engine.llama_params, max_batch=2,
+                max_seq_len=96, compute_dtype=jnp.float32,
+                cache_dtype=jnp.float32, prompt_bucket=16,
+                gen_cfg=GenerationConfig(
+                    do_sample=default_sampling, temperature=1.5, top_p=0.95,
+                    eos_token_id=cfg.llama.eos_token_id),
+                rng=jax.random.PRNGKey(11))
+
+        rng = np.random.default_rng(9)
+        prompt = rng.integers(3, 200, size=(7,)).astype(np.int32)
+
+        ref = make(default_sampling=False)
+        ref_req = Request(uid=0, input_ids=prompt, max_new_tokens=6)
+        ref.run([ref_req])
+
+        # sampling-by-default scheduler; the greedy request opts out via
+        # temperature=0.0 while its batchmate samples hot
+        mixed = make(default_sampling=True)
+        greedy_req = Request(uid=1, input_ids=prompt, max_new_tokens=6,
+                             temperature=0.0)
+        hot_req = Request(uid=2, input_ids=prompt, max_new_tokens=6)
+        mixed.run([greedy_req, hot_req])
+        assert greedy_req.output_ids == ref_req.output_ids, (
+            greedy_req.output_ids, ref_req.output_ids)
+        assert hot_req.done and len(hot_req.output_ids) >= 1
+
+    def test_sampling_deterministic_under_fixed_rng(self, setup):
+        cfg, params, engine, _ = setup
+
+        def run_once():
+            sched = ContinuousBatchingScheduler(
+                cfg, params, engine.llama_params, max_batch=1,
+                max_seq_len=96, compute_dtype=jnp.float32,
+                cache_dtype=jnp.float32, prompt_bucket=16,
+                gen_cfg=GenerationConfig(
+                    do_sample=True, temperature=1.2, top_p=0.9,
+                    eos_token_id=cfg.llama.eos_token_id),
+                rng=jax.random.PRNGKey(4))
+            req = Request(uid=0, input_ids=np.arange(3, 10, dtype=np.int32),
+                          max_new_tokens=6)
+            sched.run([req])
+            return req.output_ids
+
+        assert run_once() == run_once()
+
 
 class TestMultiTokenTick:
     def test_chunk_matches_single_step(self, setup):

@@ -104,7 +104,7 @@ class TestWebUIDemoLogic:
             "rgb_vision": {"input_size": [28, 28]},
             "text": {"max_position_embeddings": 64},
         })
-        d = webui.WebUIDemo(cfg, params, FakeTokenizer(), config)
+        d = webui.WebUIDemo(cfg, params, FakeTokenizer(cfg.llama.vocab_size), config)
         # shrink the engine for test speed
         return d
 
