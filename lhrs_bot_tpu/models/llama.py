@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from .constants import IGNORE_INDEX
 from ..ops.attention import flash_attention
+from ..ops.ring_attention import ring_attention
 from ..ops.decode_attention import decode_attention
 from ..ops.quant import QuantizedTensor, quantized_matmul
 from ..ops.rmsnorm import rms_norm
@@ -208,12 +209,22 @@ def _qkv(x, lp, cfg: LlamaConfig, cos, sin):
     return q, k, v
 
 
-def _block_full(x, lp, cfg: LlamaConfig, cos, sin, kv_mask):
-    """Full-sequence causal block (training / cacheless forward)."""
+def _block_full(x, lp, cfg: LlamaConfig, cos, sin, kv_mask,
+                cp_axis_name=None):
+    """Full-sequence causal block (training / cacheless forward).
+
+    With `cp_axis_name` the block runs under shard_map with the sequence
+    sharded on that mesh axis: attention goes through the K/V ring
+    (ops/ring_attention.py) and `cos`/`sin`/`kv_mask` carry this shard's
+    GLOBAL positions/mask rows (parallel/context.py builds them)."""
     b, s, d = x.shape
     h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
     q, k, v = _qkv(h, lp, cfg, cos, sin)
-    attn = flash_attention(q, k, v, kv_mask, causal=True)
+    if cp_axis_name is not None:
+        attn = ring_attention(q, k, v, kv_mask, axis_name=cp_axis_name,
+                              causal=True)
+    else:
+        attn = flash_attention(q, k, v, kv_mask, causal=True)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
     x = x + _proj(lp, "wo", attn)
     h2 = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
@@ -231,8 +242,15 @@ def llama_apply(
     positions: Optional[jnp.ndarray] = None,  # (B, S) int32
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    cp_axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Cacheless forward → logits (B, S, V) float32."""
+    """Cacheless forward → logits (B, S, V) float32.
+
+    `cp_axis_name`: run context-parallel — the caller invokes this inside
+    shard_map with the sequence dim sharded on that axis and MUST pass
+    global `positions` (the local default arange would restart RoPE at
+    every shard boundary); see parallel/context.py.
+    """
     if inputs_embeds is None:
         inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
     x = inputs_embeds.astype(compute_dtype)
@@ -251,8 +269,9 @@ def llama_apply(
     def body(carry, lp):
         fn = _block_full
         if remat:
-            fn = jax.checkpoint(_block_full, static_argnums=(2,))
-        return fn(carry, lp, cfg, cos, sin, attention_mask), None
+            fn = jax.checkpoint(_block_full, static_argnums=(2, 6))
+        return fn(carry, lp, cfg, cos, sin, attention_mask,
+                  cp_axis_name), None
 
     x, _ = jax.lax.scan(body, x, layers)
     x = rms_norm(x, params["final_norm"].astype(compute_dtype),

@@ -11,6 +11,7 @@ from upstream torch wheels (SURVEY.md §2.1 "Native-dep rows").
 
 from . import attention, decode_attention, mlp, patch_embed, rmsnorm, rope  # noqa: F401
 from .attention import flash_attention, mha_reference  # noqa: F401
+from .ring_attention import ring_attention, ring_self_attention  # noqa: F401
 from .decode_attention import decode_attention as decode_attention_op  # noqa: F401
 from .mlp import gelu_mlp, silu_mlp  # noqa: F401
 from .patch_embed import patch_embed as patch_embed_op  # noqa: F401

@@ -18,3 +18,8 @@ from .partition import (  # noqa: F401
     to_named,
     vlm_param_specs,
 )
+from .context import (  # noqa: F401
+    SEQ_AXIS,
+    context_parallel_apply,
+    make_cp_mesh,
+)
