@@ -99,8 +99,8 @@ class ContinuousBatchingScheduler:
         self.prompt_bucket = prompt_bucket
         self.tokens_per_tick = max(1, int(tokens_per_tick))
 
-        self.cache = KVCache.create(cfg.llama, max_batch, max_seq_len,
-                                    dtype=cache_dtype)
+        self.cache_dtype = cache_dtype
+        self.cache = self._make_cache()
         # per-slot host state
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.slot_budget = np.zeros(max_batch, np.int32)
@@ -146,10 +146,56 @@ class ContinuousBatchingScheduler:
         self._tick_jit = jax.jit(self._tick, donate_argnums=(2,),
                                  static_argnames=("sample",))
 
+    # -- cache-strategy hooks (overridden by the paged scheduler) -------------
+
+    def _make_cache(self):
+        return KVCache.create(self.cfg.llama, self.max_batch,
+                              self.max_seq_len, dtype=self.cache_dtype)
+
+    def _install_prefill(self, cache, tmp, slot_idx, seq_lens, table_rows):
+        """Scatter a bucketed prefill's KV rows into the persistent cache."""
+        return KVCache(
+            k=cache.k.at[:, slot_idx].set(tmp.k),
+            v=cache.v.at[:, slot_idx].set(tmp.v),
+            length=cache.length.at[slot_idx].set(tmp.length),
+            k_scale=(None if cache.k_scale is None
+                     else cache.k_scale.at[:, slot_idx].set(tmp.k_scale)),
+            v_scale=(None if cache.v_scale is None
+                     else cache.v_scale.at[:, slot_idx].set(tmp.v_scale)),
+        )
+
+    def _decode(self, llama_params, cache, embeds):
+        return llama_decode_step(
+            llama_params, self.cfg.llama, cache,
+            inputs_embeds=embeds, compute_dtype=self.compute_dtype)
+
+    @staticmethod
+    def _freeze_lengths(new_cache, old_cache, act):
+        """Frozen slots must not grow their cache."""
+        return new_cache._replace(
+            length=jnp.where(act, new_cache.length, old_cache.length))
+
+    def _admission_capacity(self, requests, free) -> int:
+        """How many of `requests` (FIFO prefix) fit this admission."""
+        return len(free)
+
+    def _reserve_rows(self, slots, spliced, budgets):
+        """Reserve per-slot cache room before prefill; returns the extra
+        prefill argument (page-table rows for the paged subclass)."""
+        return None
+
+    def _room(self, slot: int, spliced: int) -> int:
+        """Cache room left for new tokens after a spliced prompt."""
+        return self.max_seq_len - spliced
+
+    def _release_slot(self, slot: int) -> None:
+        """Free per-slot cache resources on completion/cancel."""
+
     # -- jitted programs ------------------------------------------------------
 
     def _prefill(self, params, llama_params, input_ids, images, cache,
-                 slot_idx, seq_lens, rng, temps, top_ps, *, width: int):
+                 slot_idx, seq_lens, rng, temps, top_ps, table_rows,
+                 *, width: int):
         """Prefill a BUCKETED batch of `width`-wide prompts (input_ids is
         (b, width) for b = a power-of-two chunk of the admission, NOT
         max_batch) and scatter the resulting KV rows into the slots named
@@ -164,22 +210,15 @@ class ContinuousBatchingScheduler:
         )
         b = input_ids.shape[0]
         tmp = KVCache.create(self.cfg.llama, b, self.max_seq_len,
-                             dtype=self.cache.k.dtype)
+                             dtype=self.cache_dtype)
         logits, tmp = llama_prefill(
             llama_params, self.cfg.llama, tmp,
             inputs_embeds=spliced.inputs_embeds,
             prompt_len=spliced.seq_len,
             compute_dtype=self.compute_dtype,
         )
-        new_cache = KVCache(
-            k=cache.k.at[:, slot_idx].set(tmp.k),
-            v=cache.v.at[:, slot_idx].set(tmp.v),
-            length=cache.length.at[slot_idx].set(tmp.length),
-            k_scale=(None if cache.k_scale is None
-                     else cache.k_scale.at[:, slot_idx].set(tmp.k_scale)),
-            v_scale=(None if cache.v_scale is None
-                     else cache.v_scale.at[:, slot_idx].set(tmp.v_scale)),
-        )
+        new_cache = self._install_prefill(cache, tmp, slot_idx,
+                                          spliced.seq_len, table_rows)
         first = _sample_token_per_slot(logits, rng, temps, top_ps)
         return first, new_cache
 
@@ -205,9 +244,7 @@ class ContinuousBatchingScheduler:
             toks, cache, act, budg = carry
             embeds = jnp.take(llama_params["embed_tokens"],
                               toks[:, None], axis=0)
-            logits, new_cache = llama_decode_step(
-                llama_params, self.cfg.llama, cache,
-                inputs_embeds=embeds, compute_dtype=self.compute_dtype)
+            logits, new_cache = self._decode(llama_params, cache, embeds)
             if sample:
                 nxt = _sample_token_per_slot(logits, step_rng, temps,
                                              top_ps)
@@ -216,11 +253,7 @@ class ContinuousBatchingScheduler:
             emit = jnp.where(act, nxt, self.pad)
             budg = jnp.where(act, budg - 1, budg)
             new_act = act & (nxt != self.eos) & (budg > 0)
-            # frozen slots must not grow their cache
-            new_cache = KVCache(
-                k=new_cache.k, v=new_cache.v,
-                length=jnp.where(act, new_cache.length, cache.length),
-                k_scale=new_cache.k_scale, v_scale=new_cache.v_scale)
+            new_cache = self._freeze_lengths(new_cache, cache, act)
             return (emit, new_cache, new_act, budg), (emit, act)
 
         rngs = jax.random.split(rng, self.tokens_per_tick)
@@ -241,7 +274,7 @@ class ContinuousBatchingScheduler:
         arrival of 1 request runs the (1, width) program, not the
         (max_batch, width) one."""
         free = self._free_slots()
-        batch = requests[:len(free)]
+        batch = requests[:self._admission_capacity(requests, free)]
         if not batch:
             return 0
         # FIFO decides WHO is admitted; within the admitted set, sort by
@@ -298,29 +331,38 @@ class ContinuousBatchingScheduler:
         for slot, t, tp in zip(slots, temps, top_ps):
             self.slot_temp[slot] = t
             self.slot_top_p[slot] = tp
+
+        # spliced prompt lengths + budgets clamped to cache room, BEFORE
+        # prefill: the paged subclass reserves pages from them and feeds
+        # the table rows to the prefill scatter
+        spliced_lens = []
+        budgets = []
+        for row, req in enumerate(batch):
+            spliced = int(lens[row])
+            if req.image is not None and np.any(ids[row, :spliced] < 0):
+                spliced += nq - 1
+            room = max(1, self._room(slots[row], spliced))
+            if req.max_new_tokens > room:
+                log.warning(
+                    "request %d: max_new_tokens %d exceeds cache room %d "
+                    "after a %d-token spliced prompt — clamping",
+                    req.uid, req.max_new_tokens, room, spliced)
+            spliced_lens.append(spliced)
+            budgets.append(min(req.max_new_tokens, room))
+        table_rows = self._reserve_rows(slots, spliced_lens, budgets)
+
         self._rng, step_rng = jax.random.split(self._rng)
         first, self.cache = self._prefill_jit(
             self.params, self.llama_params,
             jnp.asarray(ids), jnp.asarray(imgs) if imgs is not None else None,
             self.cache, jnp.asarray(np.asarray(slots, np.int32)),
             jnp.asarray(lens), step_rng, jnp.asarray(temps),
-            jnp.asarray(top_ps), width=width)
+            jnp.asarray(top_ps), table_rows, width=width)
         first_host = np.asarray(first)
 
         for row, (slot, req) in enumerate(zip(slots, batch)):
             self.slot_req[slot] = req
-            # clamp the generation budget to the cache room left after the
-            # spliced prompt — silently-dropped KV writes corrupt output
-            spliced = int(lens[row])
-            if req.image is not None and np.any(ids[row, :spliced] < 0):
-                spliced += nq - 1
-            room = max(1, self.max_seq_len - spliced)
-            if req.max_new_tokens > room:
-                log.warning(
-                    "request %d: max_new_tokens %d exceeds cache room %d "
-                    "after a %d-token spliced prompt — clamping",
-                    req.uid, req.max_new_tokens, room, spliced)
-            self.slot_budget[slot] = min(req.max_new_tokens, room)
+            self.slot_budget[slot] = budgets[row]
             tok = int(first_host[row])
             self.active[slot] = True
             self._push_token(slot, tok)
@@ -335,6 +377,7 @@ class ContinuousBatchingScheduler:
             self.active[slot] = False
             self.slot_req[slot] = None
             self.last_tokens[slot] = self.pad
+            self._release_slot(slot)
         else:
             req.output_ids.append(tok)
             self.last_tokens[slot] = tok
@@ -353,6 +396,7 @@ class ContinuousBatchingScheduler:
                 self.slot_req[slot] = None
                 self.slot_budget[slot] = 0
                 self.last_tokens[slot] = self.pad
+                self._release_slot(slot)
                 return True
         return False
 
