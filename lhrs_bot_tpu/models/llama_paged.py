@@ -46,6 +46,11 @@ class PagedKVCache(NamedTuple):
     v_pages: jnp.ndarray     # (L, H, N_pages, page_size, d)
     page_table: jnp.ndarray  # (B, pages_per_seq) int32 — 0 = null page
     lengths: jnp.ndarray     # (B,) int32 valid tokens per slot
+    # int8 pools: per-(head, position) vector scales, repo convention
+    # x ≈ q * scale (scale = absmax/127, ops/quant.py:81); the bundled
+    # kernel's QuantizedTensor wants absmax, adapted at the call site
+    k_scale_pages: Optional[jnp.ndarray] = None  # (L, H, N, page) f32
+    v_scale_pages: Optional[jnp.ndarray] = None
 
     @property
     def page_size(self) -> int:
@@ -55,17 +60,30 @@ class PagedKVCache(NamedTuple):
     def pages_per_seq(self) -> int:
         return self.page_table.shape[1]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale_pages is not None
+
     @classmethod
     def create(cls, cfg: LlamaConfig, batch: int, num_pages: int,
                pages_per_seq: int, page_size: int = 64,
                dtype=jnp.bfloat16) -> "PagedKVCache":
         shape = (cfg.num_hidden_layers, cfg.num_attention_heads,
                  num_pages, page_size, cfg.head_dim)
+        table = jnp.zeros((batch, pages_per_seq), jnp.int32)
+        lengths = jnp.zeros((batch,), jnp.int32)
+        if dtype == jnp.int8:
+            return cls(
+                k_pages=jnp.zeros(shape, jnp.int8),
+                v_pages=jnp.zeros(shape, jnp.int8),
+                page_table=table, lengths=lengths,
+                k_scale_pages=jnp.ones(shape[:-1], jnp.float32),
+                v_scale_pages=jnp.ones(shape[:-1], jnp.float32),
+            )
         return cls(
             k_pages=jnp.zeros(shape, dtype),
             v_pages=jnp.zeros(shape, dtype),
-            page_table=jnp.zeros((batch, pages_per_seq), jnp.int32),
-            lengths=jnp.zeros((batch,), jnp.int32),
+            page_table=table, lengths=lengths,
         )
 
 
@@ -102,11 +120,24 @@ def scatter_prefill(
             L, H, b * n_chunks, p, d)
         return pool.at[:, :, ids].set(chunks.astype(pool.dtype))
 
+    def put_scales(pool, rows):
+        # (L, b, H, W) → chunks (L, H, b·n_chunks, p)
+        chunks = rows.reshape(L, b, H, n_chunks, p)
+        chunks = chunks.transpose(0, 2, 1, 3, 4).reshape(
+            L, H, b * n_chunks, p)
+        return pool.at[:, :, ids].set(chunks)
+
+    if pcache.quantized != (tmp.k_scale is not None):
+        raise ValueError("paged pool and prefill cache dtype mismatch")
     return PagedKVCache(
         k_pages=put(pcache.k_pages, tmp.k),
         v_pages=put(pcache.v_pages, tmp.v),
         page_table=pcache.page_table.at[slot_idx].set(table_rows),
         lengths=pcache.lengths.at[slot_idx].set(prompt_len.astype(jnp.int32)),
+        k_scale_pages=(None if not pcache.quantized
+                       else put_scales(pcache.k_scale_pages, tmp.k_scale)),
+        v_scale_pages=(None if not pcache.quantized
+                       else put_scales(pcache.v_scale_pages, tmp.v_scale)),
     )
 
 
@@ -116,6 +147,8 @@ def paged_attention_reference(
     v_pages: jnp.ndarray,
     page_table: jnp.ndarray,   # (B, P) int32
     lengths: jnp.ndarray,      # (B,) int32 — INCLUDING the appended token
+    k_scales: Optional[jnp.ndarray] = None,  # (H, N, p) per-vector
+    v_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """XLA path: gather this batch's pages into contiguous (B, H, S, d)
     views and reuse the masked decode attention. The gather materializes
@@ -126,7 +159,13 @@ def paged_attention_reference(
     k = k.transpose(1, 0, 2, 3, 4).reshape(b, h, P * p, d)
     v = jnp.take(v_pages, page_table, axis=1)
     v = v.transpose(1, 0, 2, 3, 4).reshape(b, h, P * p, d)
-    return decode_attention(q, k, v, lengths)
+    ks = vs = None
+    if k_scales is not None:
+        ks = jnp.take(k_scales, page_table, axis=1).transpose(
+            1, 0, 2, 3).reshape(b, h, P * p)
+        vs = jnp.take(v_scales, page_table, axis=1).transpose(
+            1, 0, 2, 3).reshape(b, h, P * p)
+    return decode_attention(q, k, v, lengths, k_scale=ks, v_scale=vs)
 
 
 def _append_rows(pool, li, page_ids, offs, rows):
@@ -164,33 +203,59 @@ def paged_decode_step(
 
     ppcb = math.gcd(pages_per_compute_block, pcache.pages_per_seq)
 
+    quantized = pcache.quantized
+
     def body(carry, lp):
-        x_in, kp, vp, li = carry
+        x_in, kp, vp, ks, vs, li = carry
         h = rms_norm(x_in, lp["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(h, lp, cfg, cos, sin)       # (B, H, 1, hd)
-        kp = _append_rows(kp, li, page_ids, offs, k[:, :, 0])
-        vp = _append_rows(vp, li, page_ids, offs, v[:, :, 0])
+        if quantized:
+            from ..ops.quant import quantize_activation
+
+            k_q, k_s = quantize_activation(k)      # int8 + (B, H, 1, 1)
+            v_q, v_s = quantize_activation(v)
+            kp = _append_rows(kp, li, page_ids, offs, k_q[:, :, 0])
+            vp = _append_rows(vp, li, page_ids, offs, v_q[:, :, 0])
+            ks = ks.at[li, :, page_ids, offs].set(k_s[:, :, 0, 0])
+            vs = vs.at[li, :, page_ids, offs].set(v_s[:, :, 0, 0])
+        else:
+            kp = _append_rows(kp, li, page_ids, offs, k[:, :, 0])
+            vp = _append_rows(vp, li, page_ids, offs, v[:, :, 0])
         if use_kernel:
             from jax.experimental.pallas.ops.tpu.paged_attention import (
-                paged_attention)
+                paged_attention, quantization_utils)
 
+            if quantized:
+                # kernel convention: x ≈ weight * scales / 127 (absmax
+                # scales); repo stores absmax/127
+                kk = quantization_utils.QuantizedTensor(
+                    kp[li], (ks[li] * 127.0)[..., None])
+                vv = quantization_utils.QuantizedTensor(
+                    vp[li], (vs[li] * 127.0)[..., None])
+                qq = (q[:, :, 0] * sm).astype(compute_dtype)
+            else:
+                kk, vv = kp[li], vp[li]
+                qq = (q[:, :, 0] * sm).astype(kp.dtype)
             attn = paged_attention(
-                (q[:, :, 0] * sm).astype(kp.dtype), kp[li], vp[li],
-                new_len, pcache.page_table,
+                qq, kk, vv, new_len, pcache.page_table,
                 pages_per_compute_block=ppcb)[:, :, None, :]
         else:
             attn = paged_attention_reference(
-                q, kp[li], vp[li], pcache.page_table, new_len)
+                q, kp[li], vp[li], pcache.page_table, new_len,
+                k_scales=ks[li] if quantized else None,
+                v_scales=vs[li] if quantized else None)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_size)
         x_mid = x_in + _proj(lp, "wo", attn)
         h2 = rms_norm(x_mid, lp["post_attn_norm"], cfg.rms_norm_eps)
         x_out = x_mid + _silu_mlp(h2, lp)
-        return (x_out, kp, vp, li + 1), None
+        return (x_out, kp, vp, ks, vs, li + 1), None
 
-    init = (x, pcache.k_pages, pcache.v_pages, jnp.zeros((), jnp.int32))
-    (x, kp, vp, _), _ = jax.lax.scan(body, init, layers)
+    init = (x, pcache.k_pages, pcache.v_pages,
+            pcache.k_scale_pages, pcache.v_scale_pages,
+            jnp.zeros((), jnp.int32))
+    (x, kp, vp, ks, vs, _), _ = jax.lax.scan(body, init, layers)
     x = rms_norm(x, params["final_norm"].astype(compute_dtype),
                  cfg.rms_norm_eps)
     logits = jnp.dot(x[:, 0, :], params["lm_head"].astype(compute_dtype),
                      preferred_element_type=jnp.float32)
-    return logits, PagedKVCache(kp, vp, pcache.page_table, new_len)
+    return logits, PagedKVCache(kp, vp, pcache.page_table, new_len, ks, vs)

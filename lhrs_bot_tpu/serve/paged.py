@@ -91,10 +91,6 @@ class PagedScheduler(ContinuousBatchingScheduler):
                          max_seq_len=pages_per_seq * page_size,
                          prompt_bucket=max(prompt_bucket, page_size), **kw)
         self.slot_pages = [[] for _ in range(self.max_batch)]
-        if kw.get("cache_dtype", jnp.bfloat16) == jnp.int8:
-            raise NotImplementedError(
-                "int8 paged KV: the pool dtype is bf16 for now (the "
-                "contiguous scheduler has the int8 cache)")
 
     # -- cache-strategy hooks --------------------------------------------------
 

@@ -191,6 +191,47 @@ class TestPagedDecode:
         assert all(r.done and len(r.output_ids) >= 1 for r in reqs)
         assert sched.allocator.available() == 5
 
+    def test_scheduler_equivalence_int8(self):
+        """int8 paged pool == int8 contiguous cache, greedy, with page
+        recycling (the per-vector scales must ride the same page
+        indirection as their K/V rows)."""
+        from lhrs_bot_tpu.models import VLMConfig, init_vlm_params
+        from lhrs_bot_tpu.serve.engine import GenerationEngine
+        from lhrs_bot_tpu.serve.paged import PagedScheduler
+        from lhrs_bot_tpu.serve.scheduler import (
+            ContinuousBatchingScheduler, Request)
+
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        engine = GenerationEngine(cfg, params, max_seq_len=96,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.float32)
+        rng = np.random.default_rng(11)
+        prompts = [rng.integers(3, 200, size=(n,)).astype(np.int32)
+                   for n in (26, 9, 33)]
+
+        def reqs():
+            return [Request(uid=i, input_ids=p, max_new_tokens=6)
+                    for i, p in enumerate(prompts)]
+
+        base = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=2, max_seq_len=96,
+            compute_dtype=jnp.float32, cache_dtype=jnp.int8,
+            prompt_bucket=16, tokens_per_tick=2)
+        a = reqs()
+        base.run(a)
+        paged = PagedScheduler(
+            cfg, params, engine.llama_params, max_batch=2,
+            num_pages=13, page_size=16, pages_per_seq=6,
+            compute_dtype=jnp.float32, cache_dtype=jnp.int8,
+            prompt_bucket=16, tokens_per_tick=2)
+        b = reqs()
+        paged.run(b)
+        for rb, rp in zip(a, b):
+            assert rp.output_ids == rb.output_ids, (
+                rb.uid, rp.output_ids, rb.output_ids)
+        assert paged.allocator.available() == 12
+
     def test_allocator(self):
         from lhrs_bot_tpu.serve.paged import PageAllocator
 
