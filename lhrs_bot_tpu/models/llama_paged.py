@@ -168,6 +168,127 @@ def paged_attention_reference(
     return decode_attention(q, k, v, lengths, k_scale=ks, v_scale=vs)
 
 
+def paged_prefill_with_context(
+    params,
+    cfg: LlamaConfig,
+    pcache: PagedKVCache,
+    *,
+    inputs_embeds: jnp.ndarray,   # (b, W, D) SUFFIX embeds, right-padded
+    suffix_len: jnp.ndarray,      # (b,) int32 valid suffix tokens
+    ctx_len: jnp.ndarray,         # (b,) int32 shared-prefix tokens, PAGE-
+                                  # ALIGNED (full pages already in table)
+    slot_idx: jnp.ndarray,        # (b,) int32 rows of the batch being filled
+    table_rows: jnp.ndarray,      # (b, pages_per_seq) — shared pages first,
+                                  # then this request's fresh pages, 0-padded
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, PagedKVCache]:
+    """Prefill ONLY a prompt suffix against shared-page context.
+
+    The prefix-cache path (serve/prefix.py): pages holding an identical
+    token prefix are shared across requests, so the transformer runs over
+    the suffix tokens only — FLOPs scale with what is NEW, which is the
+    entire win for repeated system prompts and multi-turn re-submission.
+    With ctx_len == 0 this degenerates to a dense paged prefill and is the
+    paged scheduler's single prefill program.
+
+    Mechanics per layer: suffix K/V are scattered into this request's
+    fresh pages FIRST, then attention gathers the whole table row (shared
+    context + just-written suffix) as one contiguous view and masks
+    causally against GLOBAL positions (query i attends cols <= ctx+i).
+    RoPE uses global positions ctx+i, so the result is bit-identical to a
+    dense prefill of prefix+suffix up to f32 accumulation order."""
+    x = inputs_embeds.astype(compute_dtype)
+    b, w, _ = x.shape
+    p = pcache.page_size
+    positions = ctx_len[:, None] + jnp.arange(w)[None, :]   # (b, W) global
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    layers = _cast_params(params["layers"], compute_dtype)
+
+    # per-token page destinations; padded suffix columns are redirected to
+    # the null page (an unclamped index would overwrite the LAST allocated
+    # page through take_along_axis clamping)
+    n_pages = table_rows.shape[1]
+    valid_tok = jnp.arange(w)[None, :] < suffix_len[:, None]
+    page_idx = jnp.minimum(positions // p, n_pages - 1)
+    tok_pages = jnp.where(
+        valid_tok, jnp.take_along_axis(table_rows, page_idx, axis=1), 0)
+    tok_offs = positions % p
+    s_total = pcache.pages_per_seq * p
+    quantized = pcache.quantized
+    sm = 1.0 / math.sqrt(cfg.head_dim)
+    new_table = pcache.page_table.at[slot_idx].set(table_rows)
+    rows_batch = table_rows                                  # (b, P)
+
+    # global column ids of the gathered view: table position j covers
+    # [j*p, (j+1)*p)
+    col_pos = jnp.arange(s_total)[None, :]                   # (1, S)
+    q_pos = positions                                        # (b, W)
+    causal = col_pos[:, None, :] <= q_pos[:, :, None]        # (b, W, S)
+
+    def attend(q, k_view, v_view, ks_view, vs_view):
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_view.astype(q.dtype),
+                            preferred_element_type=jnp.float32) * sm
+        if ks_view is not None:
+            scores = scores * ks_view[:, :, None, :]
+        scores = jnp.where(causal[:, None], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if vs_view is not None:
+            probs = probs * vs_view[:, :, None, :]
+        return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype),
+                          v_view.astype(q.dtype))
+
+    def gather(pool):
+        g = jnp.take(pool, rows_batch, axis=1)               # (H,b,P,p[,d])
+        perm = (1, 0) + tuple(range(2, g.ndim))
+        g = g.transpose(*perm)
+        return g.reshape((b, g.shape[1], s_total) + g.shape[4:])
+
+    def body(carry, lp):
+        x_in, kp, vp, ks, vs, li = carry
+        h = rms_norm(x_in, lp["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(h, lp, cfg, cos, sin)                 # (b, H, W, hd)
+        k_rows = k.transpose(0, 2, 1, 3)                     # (b, W, H, d)
+        v_rows = v.transpose(0, 2, 1, 3)
+        if quantized:
+            from ..ops.quant import quantize_activation
+
+            k_q, k_s = quantize_activation(k_rows)
+            v_q, v_s = quantize_activation(v_rows)
+            kp = kp.at[li, :, tok_pages, tok_offs].set(k_q.astype(kp.dtype))
+            vp = vp.at[li, :, tok_pages, tok_offs].set(v_q.astype(vp.dtype))
+            ks = ks.at[li, :, tok_pages, tok_offs].set(k_s[..., 0])
+            vs = vs.at[li, :, tok_pages, tok_offs].set(v_s[..., 0])
+            attn = attend(q, gather(kp[li]), gather(vp[li]),
+                          gather(ks[li]), gather(vs[li]))
+        else:
+            kp = kp.at[li, :, tok_pages, tok_offs].set(
+                k_rows.astype(kp.dtype))
+            vp = vp.at[li, :, tok_pages, tok_offs].set(
+                v_rows.astype(vp.dtype))
+            attn = attend(q, gather(kp[li]), gather(vp[li]), None, None)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, w, cfg.hidden_size)
+        x_mid = x_in + _proj(lp, "wo", attn)
+        h2 = rms_norm(x_mid, lp["post_attn_norm"], cfg.rms_norm_eps)
+        x_out = x_mid + _silu_mlp(h2, lp)
+        return (x_out, kp, vp, ks, vs, li + 1), None
+
+    init = (x, pcache.k_pages, pcache.v_pages,
+            pcache.k_scale_pages, pcache.v_scale_pages,
+            jnp.zeros((), jnp.int32))
+    (x, kp, vp, ks, vs, _), _ = jax.lax.scan(body, init, layers)
+    x = rms_norm(x, params["final_norm"].astype(compute_dtype),
+                 cfg.rms_norm_eps)
+    last = jnp.maximum(suffix_len - 1, 0)
+    x_last = jnp.take_along_axis(
+        x, last[:, None, None].astype(jnp.int32), axis=1).squeeze(1)
+    logits = jnp.dot(x_last, params["lm_head"].astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    new_len = (ctx_len + suffix_len).astype(jnp.int32)
+    return logits, PagedKVCache(
+        kp, vp, new_table,
+        pcache.lengths.at[slot_idx].set(new_len), ks, vs)
+
+
 def _append_rows(pool, li, page_ids, offs, rows):
     """Scatter one new token's (B, H, d) rows into layer li of the pool."""
     return pool.at[li, :, page_ids, offs].set(rows.astype(pool.dtype))

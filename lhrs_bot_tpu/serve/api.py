@@ -191,11 +191,14 @@ class ServingFrontend:
                     req.error = str(exc)
                     req.done = True
                 pending = []
-                # free any slots the failed batch occupied
-                for slot, req in enumerate(self.sched.slot_req):
-                    if req is not None:
-                        self.sched.slot_req[slot] = None
-                self.sched.active[:] = False
+                # free any slots (and cache resources) the failed batch held
+                if hasattr(self.sched, "fail_all"):
+                    self.sched.fail_all()
+                else:  # duck-typed test schedulers
+                    for slot, req in enumerate(self.sched.slot_req):
+                        if req is not None:
+                            self.sched.slot_req[slot] = None
+                    self.sched.active[:] = False
             # signal finished requests (event set once, permanently)
             still = []
             for req in self._inflight:

@@ -179,14 +179,20 @@ class ContinuousBatchingScheduler:
         """How many of `requests` (FIFO prefix) fit this admission."""
         return len(free)
 
-    def _reserve_rows(self, slots, spliced, budgets):
+    def _reserve_rows(self, slots, batch, spliced, budgets,
+                      width):
         """Reserve per-slot cache room before prefill; returns the extra
         prefill argument (page-table rows for the paged subclass)."""
         return None
 
-    def _room(self, slot: int, spliced: int) -> int:
+    def _room(self, slot: int, spliced: int, req=None) -> int:
         """Cache room left for new tokens after a spliced prompt."""
         return self.max_seq_len - spliced
+
+    def _packed_ids(self, req):
+        """Token ids to pack into the prefill program for this request
+        (the prefix-cache scheduler packs only the uncached suffix)."""
+        return req.input_ids
 
     def _release_slot(self, slot: int) -> None:
         """Free per-slot cache resources on completion/cancel."""
@@ -280,7 +286,8 @@ class ContinuousBatchingScheduler:
         # FIFO decides WHO is admitted; within the admitted set, sort by
         # prompt length so each power-of-two chunk packs similar widths
         # (a 256-token prompt must not ride in a 2048-wide program)
-        batch = sorted(batch, key=lambda r: len(r.input_ids), reverse=True)
+        batch = sorted(batch, key=lambda r: len(self._packed_ids(r)),
+                       reverse=True)
         done = 0
         for b in self._bucket_sizes(len(batch)):
             chunk = batch[done:done + b]
@@ -294,7 +301,7 @@ class ContinuousBatchingScheduler:
 
         log = logging.getLogger("lhrs_tpu")
         b = len(batch)
-        t = max(len(r.input_ids) for r in batch)
+        t = max(len(self._packed_ids(r)) for r in batch)
         has_image = any(r.image is not None for r in batch)
         # an image expands the spliced prefill by num_query-1 tokens
         # (the -200 placeholder becomes num_query pooled embeddings), so the
@@ -316,8 +323,9 @@ class ContinuousBatchingScheduler:
             h = self.cfg.vit.image_size
             imgs = np.zeros((b, h, h, 3), np.uint8)
         for row, req in enumerate(batch):
-            n = min(len(req.input_ids), width)
-            ids[row, :n] = req.input_ids[:n]
+            pids = self._packed_ids(req)
+            n = min(len(pids), width)
+            ids[row, :n] = pids[:n]
             lens[row] = n
             if imgs is not None and req.image is not None:
                 imgs[row] = req.image
@@ -341,7 +349,7 @@ class ContinuousBatchingScheduler:
             spliced = int(lens[row])
             if req.image is not None and np.any(ids[row, :spliced] < 0):
                 spliced += nq - 1
-            room = max(1, self._room(slots[row], spliced))
+            room = max(1, self._room(slots[row], spliced, req))
             if req.max_new_tokens > room:
                 log.warning(
                     "request %d: max_new_tokens %d exceeds cache room %d "
@@ -349,7 +357,8 @@ class ContinuousBatchingScheduler:
                     req.uid, req.max_new_tokens, room, spliced)
             spliced_lens.append(spliced)
             budgets.append(min(req.max_new_tokens, room))
-        table_rows = self._reserve_rows(slots, spliced_lens, budgets)
+        table_rows = self._reserve_rows(slots, batch, spliced_lens,
+                                        budgets, width)
 
         self._rng, step_rng = jax.random.split(self._rng)
         first, self.cache = self._prefill_jit(
@@ -399,6 +408,15 @@ class ContinuousBatchingScheduler:
                 self._release_slot(slot)
                 return True
         return False
+
+    def fail_all(self) -> None:
+        """Free every slot (and its cache resources) after a fatal batch
+        error — the serving worker's recovery path."""
+        for slot in range(self.max_batch):
+            if self.slot_req[slot] is not None or self.active[slot]:
+                self.slot_req[slot] = None
+                self._release_slot(slot)
+        self.active[:] = False
 
     def step(self) -> int:
         """One decode tick (= `tokens_per_tick` tokens per active slot in a

@@ -110,6 +110,61 @@ class TestPagedDecode:
             assert (np.asarray(tok_p) == np.asarray(tok)).all()
         assert int(pcache.lengths[1]) == PAGE - 1 + 6  # second page in use
 
+    @pytest.mark.parametrize("quantized", [False, True])
+    def test_context_prefill_matches_dense(self, setup, quantized):
+        """Split prefill: pages 0..k via one request's dense prefill, the
+        suffix via paged_prefill_with_context on a second slot SHARING
+        those pages — logits and subsequent decode must match a dense
+        prefill of the full prompt."""
+        from lhrs_bot_tpu.models.llama_paged import (
+            paged_prefill_with_context)
+
+        cfg, params = setup
+        dtype = jnp.int8 if quantized else jnp.float32
+        rng = np.random.default_rng(4)
+        full = rng.integers(3, 200, size=(48,)).astype(np.int32)
+        ctx_tokens, suffix = full[:32], full[32:]  # 2 shared pages of 16
+
+        emb = jnp.take(params["embed_tokens"], jnp.asarray(full)[None],
+                       axis=0)
+        # oracle: dense paged prefill of the whole prompt on slot 0
+        pc = PagedKVCache.create(cfg, 2, 32, 6, page_size=PAGE, dtype=dtype)
+        table0 = np.zeros((1, 6), np.int32)
+        table0[0, :4] = [3, 7, 2, 9]
+        l_dense, pc = paged_prefill_with_context(
+            params, cfg, pc,
+            inputs_embeds=emb, suffix_len=jnp.array([48]),
+            ctx_len=jnp.array([0]), slot_idx=jnp.array([0]),
+            table_rows=jnp.asarray(table0), compute_dtype=jnp.float32)
+
+        # slot 1: shares pages [3, 7] (tokens 0..31), prefills the suffix
+        emb_sfx = jnp.take(params["embed_tokens"],
+                           jnp.asarray(suffix)[None], axis=0)
+        table1 = np.zeros((1, 6), np.int32)
+        table1[0, :2] = [3, 7]       # shared
+        table1[0, 2:4] = [11, 5]     # fresh
+        l_ctx, pc = paged_prefill_with_context(
+            params, cfg, pc,
+            inputs_embeds=emb_sfx, suffix_len=jnp.array([16]),
+            ctx_len=jnp.array([32]), slot_idx=jnp.array([1]),
+            table_rows=jnp.asarray(table1), compute_dtype=jnp.float32)
+        tol = 2e-2 if quantized else 2e-5
+        np.testing.assert_allclose(np.asarray(l_ctx), np.asarray(l_dense),
+                                   atol=tol, rtol=tol)
+        assert int(pc.lengths[1]) == 48
+
+        # decode a few tokens on both slots: must agree exactly
+        tok = jnp.argmax(l_dense, -1).astype(jnp.int32)
+        toks = jnp.concatenate([tok, tok])
+        for _ in range(4):
+            e = jnp.take(params["embed_tokens"], toks[:, None], axis=0)
+            logits, pc = paged_decode_step(params, cfg, pc,
+                                           inputs_embeds=e,
+                                           compute_dtype=jnp.float32)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            assert int(nxt[0]) == int(nxt[1])
+            toks = nxt
+
     def test_scheduler_equivalence(self):
         """PagedScheduler must emit token-for-token the contiguous
         scheduler's greedy outputs over a mixed-length request wave that
@@ -154,8 +209,11 @@ class TestPagedDecode:
             assert rb.done and rp.done
             assert rp.output_ids == rb.output_ids, (
                 rb.uid, rp.output_ids, rb.output_ids)
-        # every page returned to the pool
-        assert paged.allocator.available() == 14
+        # every page is either free or a cached (refcount-0) prefix page
+        stats = paged.pool_stats()
+        assert (paged.allocator.available()
+                + stats["prefix"]["evictable"]) == 14
+        assert stats["prefix"]["entries"] == stats["prefix"]["evictable"]
         assert all(not p for p in paged.slot_pages)
 
     def test_scheduler_admission_deferred_by_pool(self):
@@ -189,7 +247,8 @@ class TestPagedDecode:
         assert n == 1, f"expected pool-limited admission of 1, got {n}"
         sched.run(reqs)
         assert all(r.done and len(r.output_ids) >= 1 for r in reqs)
-        assert sched.allocator.available() == 5
+        st = sched.pool_stats()
+        assert sched.allocator.available() + st["prefix"]["evictable"] == 5
 
     def test_scheduler_equivalence_int8(self):
         """int8 paged pool == int8 contiguous cache, greedy, with page
@@ -230,7 +289,9 @@ class TestPagedDecode:
         for rb, rp in zip(a, b):
             assert rp.output_ids == rb.output_ids, (
                 rb.uid, rp.output_ids, rb.output_ids)
-        assert paged.allocator.available() == 12
+        st8 = paged.pool_stats()
+        assert (paged.allocator.available()
+                + st8["prefix"]["evictable"]) == 12
 
     def test_allocator(self):
         from lhrs_bot_tpu.serve.paged import PageAllocator
@@ -246,6 +307,117 @@ class TestPagedDecode:
         assert sorted(a.alloc(3)) == sorted(p1)
         with pytest.raises(ValueError):
             a.free([0])
+
+
+def _tiny_serving(max_batch=2, num_pages=30, pages_per_seq=6,
+                  enable_prefix_cache=True, page_size=16):
+    import jax as _jax
+
+    from lhrs_bot_tpu.models import VLMConfig, init_vlm_params
+    from lhrs_bot_tpu.serve.engine import GenerationEngine
+    from lhrs_bot_tpu.serve.paged import PagedScheduler
+
+    cfg = VLMConfig.tiny_test(stage=0)
+    params = init_vlm_params(_jax.random.PRNGKey(0), cfg)
+    engine = GenerationEngine(cfg, params, max_seq_len=96,
+                              compute_dtype=jnp.float32,
+                              cache_dtype=jnp.float32)
+    sched = PagedScheduler(
+        cfg, params, engine.llama_params, max_batch=max_batch,
+        num_pages=num_pages, page_size=page_size,
+        pages_per_seq=pages_per_seq, compute_dtype=jnp.float32,
+        cache_dtype=jnp.float32, prompt_bucket=16, tokens_per_tick=2,
+        enable_prefix_cache=enable_prefix_cache)
+    return cfg, params, sched
+
+
+class TestPrefixCache:
+    def test_repeat_prompt_hits_and_matches(self):
+        """The same prompt served twice: the rerun must hit the prefix
+        pool (suffix-only prefill) and produce identical greedy tokens."""
+        from lhrs_bot_tpu.serve.scheduler import Request
+
+        cfg, params, sched = _tiny_serving()
+        rng = np.random.default_rng(7)
+        prompt = rng.integers(3, 200, size=(40,)).astype(np.int32)
+
+        r1 = Request(uid=1, input_ids=prompt, max_new_tokens=6)
+        sched.run([r1])
+        stats1 = sched.pool_stats()["prefix"]
+        assert stats1["entries"] >= 2  # 40 tokens -> 2 full pages promoted
+
+        r2 = Request(uid=2, input_ids=prompt, max_new_tokens=6)
+        sched.run([r2])
+        stats2 = sched.pool_stats()["prefix"]
+        assert stats2["hits"] >= 1
+        assert stats2["tokens_reused"] >= 32
+        assert r2.output_ids == r1.output_ids
+
+    def test_shared_system_prefix_across_prompts(self):
+        """Different questions behind a common 32-token system prefix:
+        outputs must equal the prefix-cache-off scheduler's outputs."""
+        from lhrs_bot_tpu.serve.scheduler import Request
+
+        rng = np.random.default_rng(8)
+        system = rng.integers(3, 200, size=(32,)).astype(np.int32)
+        questions = [rng.integers(3, 200, size=(n,)).astype(np.int32)
+                     for n in (9, 17, 4)]
+        prompts = [np.concatenate([system, q]) for q in questions]
+
+        def run(enable):
+            _, _, sched = _tiny_serving(enable_prefix_cache=enable)
+            reqs = [Request(uid=i, input_ids=p, max_new_tokens=5)
+                    for i, p in enumerate(prompts)]
+            # first request alone (promotes the system pages), then the
+            # rest — sharing is across admission waves by design
+            sched.run([reqs[0]])
+            sched.run(reqs[1:])
+            return [r.output_ids for r in reqs], sched
+
+        base_out, _ = run(False)
+        cached_out, sched = run(True)
+        assert cached_out == base_out
+        st = sched.pool_stats()["prefix"]
+        assert st["tokens_reused"] >= 2 * 32  # 2nd+3rd reuse the system pages
+
+    def test_eviction_under_pressure(self):
+        """A full pool of refcount-0 prefix pages must be evicted to admit
+        new work rather than deferring forever."""
+        from lhrs_bot_tpu.serve.scheduler import Request
+
+        cfg, params, sched = _tiny_serving(max_batch=1, num_pages=10,
+                                           pages_per_seq=5)
+        rng = np.random.default_rng(9)
+        outs = []
+        for i in range(4):  # each run promotes pages; pool is 9 pages
+            p = rng.integers(3, 200, size=(33,)).astype(np.int32)
+            r = Request(uid=i, input_ids=p, max_new_tokens=4)
+            sched.run([r])
+            assert r.done and len(r.output_ids) >= 1
+            outs.append(r.output_ids)
+        st = sched.pool_stats()
+        assert st["free_pages"] + st["prefix"]["evictable"] == 9
+
+    def test_image_pages_not_promoted(self):
+        """Pages containing the image splice must never enter the pool."""
+        from lhrs_bot_tpu.serve.scheduler import Request
+
+        cfg, params, sched = _tiny_serving(pages_per_seq=6, num_pages=40)
+        rng = np.random.default_rng(10)
+        head = rng.integers(3, 200, size=(16,)).astype(np.int32)
+        tail = rng.integers(3, 200, size=(20,)).astype(np.int32)
+        ids = np.concatenate([head, np.array([-200], np.int32), tail])
+        img = np.zeros((28, 28, 3), np.uint8)
+        r = Request(uid=1, input_ids=ids, image=img, max_new_tokens=4)
+        sched.run([r])
+        st = sched.pool_stats()["prefix"]
+        # only the 1 pure-text page before the -200 is promotable
+        assert st["entries"] == 1
+
+        # identical request again: hits exactly the text page, same output
+        r2 = Request(uid=2, input_ids=ids, image=img, max_new_tokens=4)
+        sched.run([r2])
+        assert r2.output_ids == r.output_ids
 
     def test_null_page_never_aliased(self, setup):
         """Poisoning the null page must not change any output (no live
