@@ -106,6 +106,12 @@ def main():
                     choices=("bf16", "int8"),
                     help="int8 halves KV footprint+read: 8 full-context "
                          "slots fit one chip (bf16 tops out at ~6)")
+    ap.add_argument("--paged", action="store_true",
+                    help="paged KV pool + prefix cache (serve/paged.py); "
+                         "pool sized to slots x S_max tokens unless "
+                         "--pool-tokens")
+    ap.add_argument("--pool-tokens", type=int, default=0)
+    ap.add_argument("--page-size", type=int, default=64)
     args = ap.parse_args()
 
     from lhrs_bot_tpu.core.bootstrap import enable_compilation_cache
@@ -125,13 +131,18 @@ def main():
     rng = np.random.default_rng(0)
     mix = [int(x) for x in args.prompt_mix.split(",")]
 
-    def make_reqs():
-        return [Request(
-            uid=i,
-            input_ids=rng.integers(
+    _uid = [0]
+
+    def make_reqs(seed=None):
+        r = rng if seed is None else np.random.default_rng(seed)
+        reqs = [Request(
+            uid=_uid[0] + i,
+            input_ids=r.integers(
                 3, 30000,
                 size=(mix[i % len(mix)],)).astype(np.int32),
             max_new_tokens=args.new_tokens) for i in range(args.slots)]
+        _uid[0] += args.slots
+        return reqs
 
     gen_cfg = GenerationConfig(eos_token_id=-1, pad_token_id=0)
     report = {"slots": args.slots, "prompt_mix": mix,
@@ -144,10 +155,23 @@ def main():
     # transient tunnel failure late in the run still leaves the main number.
     cache_dtype = jnp.int8 if args.cache_dtype == "int8" else jnp.bfloat16
     report["cache_dtype"] = args.cache_dtype
-    sched = ContinuousBatchingScheduler(
-        cfg, {}, llama_params, max_batch=args.slots,
-        max_seq_len=args.max_seq_len, tokens_per_tick=8,
-        cache_dtype=cache_dtype, gen_cfg=gen_cfg, prompt_bucket=64)
+    report["paged"] = bool(args.paged)
+    if args.paged:
+        from lhrs_bot_tpu.serve.paged import PagedScheduler
+
+        pool_tokens = args.pool_tokens or args.slots * args.max_seq_len
+        report["pool_tokens"] = pool_tokens
+        sched = PagedScheduler(
+            cfg, {}, llama_params, max_batch=args.slots,
+            num_pages=pool_tokens // args.page_size + 1,
+            page_size=args.page_size,
+            max_seq_len=args.max_seq_len, tokens_per_tick=8,
+            cache_dtype=cache_dtype, gen_cfg=gen_cfg, prompt_bucket=64)
+    else:
+        sched = ContinuousBatchingScheduler(
+            cfg, {}, llama_params, max_batch=args.slots,
+            max_seq_len=args.max_seq_len, tokens_per_tick=8,
+            cache_dtype=cache_dtype, gen_cfg=gen_cfg, prompt_bucket=64)
     for k in (8, 1):
         try:
             sched.set_tokens_per_tick(k)
@@ -161,6 +185,18 @@ def main():
             results[f"steady_tok_s_k{k}"] = round(tok_s, 1)
         except Exception as exc:  # noqa: BLE001 — report what succeeded
             results[f"error_k{k}"] = str(exc)[:200]
+
+    if args.paged:
+        # prefix-cache effect: identical prompts twice — the second
+        # admission prefills only the uncached suffix (one partial page)
+        try:
+            ttft_cold, _ = run_schedule(sched, make_reqs(seed=123))
+            ttft_hit, _ = run_schedule(sched, make_reqs(seed=123))
+            results["ttft_s_prefix_cold"] = round(ttft_cold, 3)
+            results["ttft_s_prefix_hit"] = round(ttft_hit, 3)
+            results["prefix_stats"] = sched.pool_stats()["prefix"]
+        except Exception as exc:  # noqa: BLE001
+            results["error_prefix"] = str(exc)[:200]
 
     report.update(results)
     speedup = (results.get("steady_tok_s_k8", 0.0)

@@ -12,12 +12,28 @@ Config knobs honored (Config/multi_modal_eval.yaml): `bits: 8` int8 decoder
 weights, `kv_bits: 8` int8 KV cache — together they are what fits 8
 full-context (2304) slots on one 16 GB chip. Endpoints: POST /generate,
 GET /health (serve/api.py).
+
+--paged switches to the paged-KV scheduler (serve/paged.py): KV lives in
+a shared page pool sized by --pool-tokens instead of slots × S_max, so
+short requests stop paying the full-context reservation and repeated
+prompt prefixes (the conversation template, chat history) are served from
+the prefix cache without re-prefilling. --slots then bounds CONCURRENCY,
+not memory — raise it for short-chat traffic.
 """
 
 from __future__ import annotations
 
 
 def main():
+    import sys
+
+    # must win before ANY backend use: the axon plugin beats JAX_PLATFORMS
+    # env selection, and a dead TPU tunnel hangs backend init forever
+    if "--cpu" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from lhrs_bot_tpu.core.bootstrap import (
@@ -34,6 +50,16 @@ def main():
             p.add_argument("--tokens-per-tick", type=int, default=8),
             p.add_argument("--temperature", type=float, default=0.0,
                            help="0 → greedy (the eval protocol default)"),
+            p.add_argument("--paged", action="store_true",
+                           help="paged KV pool + prefix cache"),
+            p.add_argument("--pool-tokens", type=int, default=0,
+                           help="paged pool capacity in tokens (default: "
+                                "slots × S_max, i.e. same memory as the "
+                                "contiguous cache)"),
+            p.add_argument("--page-size", type=int, default=64),
+            p.add_argument("--cpu", action="store_true",
+                           help="force the CPU backend (smoke runs / "
+                                "debugging without a reachable TPU)"),
         ))
     logger = setup(config)
 
@@ -48,14 +74,31 @@ def main():
         do_sample=t > 0, temperature=max(t, 1e-6),
         eos_token_id=int(tokenizer.eos_token_id),
         pad_token_id=int(tokenizer.pad_token_id or 0))
-    sched = ContinuousBatchingScheduler(
-        cfg, engine.params, engine.llama_params,
-        max_batch=int(config.slots),
-        max_seq_len=engine.max_seq_len,
-        cache_dtype=engine.cache_dtype,
-        tokens_per_tick=int(config.tokens_per_tick),
-        gen_cfg=gen_cfg,
-    )
+    if getattr(config, "paged", False):
+        from lhrs_bot_tpu.serve.paged import PagedScheduler
+
+        page = int(config.page_size)
+        pool_tokens = (int(config.pool_tokens)
+                       or int(config.slots) * engine.max_seq_len)
+        sched = PagedScheduler(
+            cfg, engine.params, engine.llama_params,
+            max_batch=int(config.slots),
+            num_pages=pool_tokens // page + 1,  # +1: reserved null page
+            page_size=page,
+            max_seq_len=engine.max_seq_len,
+            cache_dtype=engine.cache_dtype,
+            tokens_per_tick=int(config.tokens_per_tick),
+            gen_cfg=gen_cfg,
+        )
+    else:
+        sched = ContinuousBatchingScheduler(
+            cfg, engine.params, engine.llama_params,
+            max_batch=int(config.slots),
+            max_seq_len=engine.max_seq_len,
+            cache_dtype=engine.cache_dtype,
+            tokens_per_tick=int(config.tokens_per_tick),
+            gen_cfg=gen_cfg,
+        )
     frontend = ServingFrontend(
         sched, tokenizer,
         image_size=int(config.rgb_vision.input_size[0]),
