@@ -100,7 +100,7 @@ def main():
         prev_text = ""
         for tok in engine.stream(
                 np.asarray([ids], np.int32), len(ids), images=image_np,
-                gen_cfg=gen_cfg):
+                gen_cfg=gen_cfg, session=True):
             emitted.append(tok)
             text = tokenizer.decode(emitted, skip_special_tokens=True)
             sys.stdout.write(text[len(prev_text):])

@@ -23,6 +23,7 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -192,6 +193,28 @@ class KVCache(NamedTuple):
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             length=jnp.zeros((batch,), jnp.int32),
+        )
+
+    def resized(self, new_len: int) -> "KVCache":
+        """Grow the position axis to `new_len` (zero-padded). A cache copy
+        is HBM-bandwidth-cheap next to re-prefilling the tokens it holds —
+        the session-continuation path (serve/engine.py stream) grows the
+        cache across chat turns instead of re-bucketing from scratch."""
+        cur = self.k.shape[3]
+        if new_len == cur:
+            return self
+        if new_len < cur:
+            raise ValueError(f"cannot shrink cache {cur} -> {new_len}")
+        pad = [(0, 0), (0, 0), (0, 0), (0, new_len - cur), (0, 0)]
+        return KVCache(
+            k=jnp.pad(self.k, pad), v=jnp.pad(self.v, pad),
+            length=self.length,
+            k_scale=(None if self.k_scale is None
+                     else jnp.pad(self.k_scale, pad[:-1],
+                                  constant_values=1.0)),
+            v_scale=(None if self.v_scale is None
+                     else jnp.pad(self.v_scale, pad[:-1],
+                                  constant_values=1.0)),
         )
 
 
@@ -366,6 +389,104 @@ def llama_prefill(
                      preferred_element_type=jnp.float32)
     return logits, KVCache(new_k, new_v, prompt_len.astype(jnp.int32),
                            new_ks, new_vs)
+
+
+def llama_prefill_continue(
+    params,
+    cfg: LlamaConfig,
+    cache: KVCache,
+    *,
+    inputs_embeds: jnp.ndarray,  # (B, W, D) SUFFIX embeds, right-padded
+    suffix_len: jnp.ndarray,     # (B,) int32 valid suffix tokens
+    start: jnp.ndarray,          # (B,) int32 tokens already in the cache
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Incremental prefill: extend an already-filled cache by a suffix.
+
+    The multi-turn chat surfaces re-submit the whole rendered conversation
+    every turn (reference behavior, /root/reference/lhrs/models/
+    text_modal.py:528-627 regenerates from scratch); with the first
+    `start` tokens' KV already in the cache (prior turns' prompt +
+    generated answer), only the NEW tokens run through the transformer.
+    RoPE uses global positions start+i; each layer writes the suffix K/V
+    at those rows, then attends over the whole cache row masked to
+    columns <= start+i — bit-identical to a dense prefill of the full
+    sequence up to f32 accumulation order. Works for bf16 and int8
+    caches; padded suffix columns are dropped (out-of-range scatter)."""
+    x = inputs_embeds.astype(compute_dtype)
+    b, w, _ = x.shape
+    s_max = cache.k.shape[3]
+    positions = start[:, None] + jnp.arange(w)[None, :]      # (B, W) global
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    layers = _cast_params(params["layers"], compute_dtype)
+
+    valid_tok = jnp.arange(w)[None, :] < suffix_len[:, None]
+    wpos = jnp.where(valid_tok, positions, s_max)            # drop garbage
+    rows_b = jnp.arange(b)[:, None]
+    col = jnp.arange(s_max)
+    causal = col[None, None, :] <= positions[:, :, None]     # (B, W, S)
+    sm = 1.0 / math.sqrt(cfg.head_dim)
+    quantized = cache.quantized
+
+    def attend(q, kcl, vcl, kscl, vscl):
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, kcl.astype(q.dtype),
+                            preferred_element_type=jnp.float32) * sm
+        if kscl is not None:
+            scores = scores * kscl[:, :, None, :]
+        scores = jnp.where(causal[:, None], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if vscl is not None:
+            probs = probs * vscl[:, :, None, :]
+        return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype),
+                          vcl.astype(q.dtype))
+
+    def body(carry, lp):
+        x_in, kc, vc, ks, vs, li = carry
+        h = rms_norm(x_in, lp["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(h, lp, cfg, cos, sin)                 # (B, H, W, hd)
+        k_rows = k.transpose(0, 2, 1, 3)                     # (B, W, H, d)
+        v_rows = v.transpose(0, 2, 1, 3)
+        kcl, vcl = kc[li], vc[li]
+        if quantized:
+            from ..ops.quant import quantize_activation
+
+            k_q, k_s = quantize_activation(k_rows)
+            v_q, v_s = quantize_activation(v_rows)
+            kcl = kcl.at[rows_b, :, wpos].set(
+                k_q.astype(kcl.dtype), mode="drop")
+            vcl = vcl.at[rows_b, :, wpos].set(
+                v_q.astype(vcl.dtype), mode="drop")
+            kscl = ks[li].at[rows_b, :, wpos].set(k_s[..., 0], mode="drop")
+            vscl = vs[li].at[rows_b, :, wpos].set(v_s[..., 0], mode="drop")
+            attn = attend(q, kcl, vcl, kscl, vscl)
+            ks = jax.lax.dynamic_update_index_in_dim(ks, kscl, li, 0)
+            vs = jax.lax.dynamic_update_index_in_dim(vs, vscl, li, 0)
+        else:
+            kcl = kcl.at[rows_b, :, wpos].set(
+                k_rows.astype(kcl.dtype), mode="drop")
+            vcl = vcl.at[rows_b, :, wpos].set(
+                v_rows.astype(vcl.dtype), mode="drop")
+            attn = attend(q, kcl, vcl, None, None)
+        kc = jax.lax.dynamic_update_index_in_dim(kc, kcl, li, 0)
+        vc = jax.lax.dynamic_update_index_in_dim(vc, vcl, li, 0)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, w, cfg.hidden_size)
+        x_mid = x_in + _proj(lp, "wo", attn)
+        h2 = rms_norm(x_mid, lp["post_attn_norm"], cfg.rms_norm_eps)
+        x_out = x_mid + _silu_mlp(h2, lp)
+        return (x_out, kc, vc, ks, vs, li + 1), None
+
+    init = (x, cache.k, cache.v, cache.k_scale, cache.v_scale,
+            jnp.zeros((), jnp.int32))
+    (x, kc, vc, ks, vs, _), _ = jax.lax.scan(body, init, layers)
+    x = rms_norm(x, params["final_norm"].astype(compute_dtype),
+                 cfg.rms_norm_eps)
+    last = jnp.maximum(suffix_len - 1, 0)
+    x_last = jnp.take_along_axis(
+        x, last[:, None, None].astype(jnp.int32), axis=1).squeeze(1)
+    logits = jnp.dot(x_last, params["lm_head"].astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return logits, KVCache(kc, vc, (start + suffix_len).astype(jnp.int32),
+                           ks, vs)
 
 
 def _write_scale_at(scale_arr, new_vals, lengths):

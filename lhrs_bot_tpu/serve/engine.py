@@ -235,6 +235,12 @@ class GenerationEngine:
         # queued step holds a full cache copy (OOMs at 7B scale)
         self._decode_step_jit = jax.jit(self._decode_step,
                                         donate_argnums=(1,))
+        # multi-turn session continuation (stream(session=True)): the
+        # cache + raw token ids of the last stream, so the next turn's
+        # rendered conversation prefills only its uncached suffix
+        self._session = None
+        self._prefill_continue_jit = jax.jit(self._prefill_continue,
+                                             donate_argnums=(1,))
 
     # -- jitted pieces ------------------------------------------------------
 
@@ -260,6 +266,17 @@ class GenerationEngine:
             compute_dtype=self.compute_dtype,
         )
         return logits, cache
+
+    def _prefill_continue(self, llama_params, cache, suffix_ids,
+                          suffix_len, start):
+        from ..models.llama import llama_prefill_continue
+
+        embeds = jnp.take(llama_params["embed_tokens"],
+                          jnp.maximum(suffix_ids, 0), axis=0)
+        return llama_prefill_continue(
+            llama_params, self.cfg.llama, cache,
+            inputs_embeds=embeds, suffix_len=suffix_len, start=start,
+            compute_dtype=self.compute_dtype)
 
     def _decode_step(self, llama_params, cache, tokens):
         embeds = jnp.take(llama_params["embed_tokens"], tokens[:, None],
@@ -430,6 +447,37 @@ class GenerationEngine:
             out.append(ids)
         return out
 
+    @staticmethod
+    def _image_fp(images) -> Optional[bytes]:
+        if images is None:
+            return None
+        import hashlib
+
+        return hashlib.sha1(np.ascontiguousarray(images)).digest()
+
+    def reset_session(self) -> None:
+        """Drop the multi-turn continuation state (new chat / new image)."""
+        self._session = None
+
+    def _session_match(self, raw: np.ndarray, fp) -> Optional[int]:
+        """Longest common prefix (in tokens) between the new prompt and
+        what the session cache already holds; None when continuation
+        doesn't apply."""
+        st = self._session
+        if st is None or st["image_fp"] != fp:
+            return None
+        old = st["raw_ids"]
+        n = min(len(old), len(raw) - 1)  # >= 1 suffix token for logits
+        if n <= 0:
+            return None
+        neq = np.nonzero(raw[:n] != old[:n])[0]
+        common = int(neq[0]) if neq.size else n
+        # the suffix must be pure text (an image splice can only sit in
+        # the matched prefix) and the match must be worth a cache copy
+        if common < 8 or np.any(raw[common:] < 0):
+            return None
+        return common
+
     def stream(
         self,
         input_ids: np.ndarray,  # (1, T)
@@ -438,41 +486,91 @@ class GenerationEngine:
         gen_cfg: Optional[GenerationConfig] = None,
         rng: Optional[jax.Array] = None,
         stop_fn: Optional[Callable[[List[int]], bool]] = None,
+        session: bool = False,
     ) -> Iterator[int]:
         """Single-sequence streaming: yields one token id per step
-        (TextStreamer/TextIteratorStreamer parity for the CLI/web UI)."""
+        (TextStreamer/TextIteratorStreamer parity for the CLI/web UI).
+
+        session=True keeps the KV cache across calls: the next turn's
+        rendered conversation is matched against the tokens already in
+        the cache (prior prompt + generated answer) and only the new
+        suffix is prefilled (`llama_prefill_continue`) — turn-N prefill
+        cost scales with the new question, not the whole history. The
+        reference regenerates from scratch every turn
+        (/root/reference/lhrs/models/text_modal.py:528-627)."""
         gen_cfg = gen_cfg or GenerationConfig()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         t = input_ids.shape[1]
         n_img = self.cfg.pooler.num_query if images is not None else 0
-        width, cache_len = self._bucketed(t, n_img, gen_cfg.max_new_tokens)
-        seq_len = min(int(seq_len), width)
-        gen_cfg = self._clamp_new_tokens(
-            gen_cfg, seq_len + (n_img - 1 if n_img else 0), cache_len)
-        input_ids = self._pad_ids(np.asarray(input_ids), width,
-                                  gen_cfg.pad_token_id)
+        nq = self.cfg.pooler.num_query
+        raw = np.asarray(input_ids)[0, :int(seq_len)].astype(np.int32)
+        fp = self._image_fp(images) if session else None
+        common = self._session_match(raw, fp) if session else None
 
-        logits, cache = self._prefill_jit(
-            self.params, self.llama_params, self._vision_packed,
-            jnp.asarray(input_ids),
-            jnp.asarray(images) if images is not None else None,
-            jnp.asarray([seq_len], np.int32), batch=1,
-            cache_len=cache_len)
+        if common is not None:
+            st, self._session = self._session, None  # claim the cache
+            start_spl = common + (nq - 1 if (raw[:common] < 0).any() else 0)
+            sfx = raw[common:]
+            width = min(-(-len(sfx) // self.prompt_bucket)
+                        * self.prompt_bucket,
+                        self.max_seq_len - start_spl)
+            need = -(-(start_spl + width + gen_cfg.max_new_tokens)
+                     // self.cache_bucket) * self.cache_bucket
+            cache_len = min(max(need, st["cache"].k.shape[3]),
+                            self.max_seq_len)
+            gen_cfg = self._clamp_new_tokens(
+                gen_cfg, start_spl + min(len(sfx), width), cache_len)
+            ids = self._pad_ids(sfx[None, :], width, gen_cfg.pad_token_id)
+            logits, cache = self._prefill_continue_jit(
+                self.llama_params, st["cache"].resized(cache_len),
+                jnp.asarray(ids),
+                jnp.asarray([min(len(sfx), width)], np.int32),
+                jnp.asarray([start_spl], np.int32))
+            raw = raw[:common + min(len(sfx), width)]
+        else:
+            width, cache_len = self._bucketed(t, n_img,
+                                              gen_cfg.max_new_tokens)
+            seq_len = min(int(seq_len), width)
+            raw = raw[:seq_len]
+            gen_cfg = self._clamp_new_tokens(
+                gen_cfg, seq_len + (n_img - 1 if n_img else 0), cache_len)
+            input_ids = self._pad_ids(np.asarray(input_ids), width,
+                                      gen_cfg.pad_token_id)
+            if session:
+                self._session = None  # a failed prefill must not leave
+                # a stale session pointing at a donated cache
+            logits, cache = self._prefill_jit(
+                self.params, self.llama_params, self._vision_packed,
+                jnp.asarray(input_ids),
+                jnp.asarray(images) if images is not None else None,
+                jnp.asarray([seq_len], np.int32), batch=1,
+                cache_len=cache_len)
 
         emitted: List[int] = []
-        for i in range(gen_cfg.max_new_tokens):
-            rng, step_rng = jax.random.split(rng)
-            tok_arr = _sample_token(logits, step_rng, gen_cfg)
-            tok = int(tok_arr[0])
-            if tok == gen_cfg.eos_token_id:
-                return
-            emitted.append(tok)
-            yield tok
-            if stop_fn is not None and stop_fn(emitted):
-                return
-            if i + 1 == gen_cfg.max_new_tokens:
-                return  # no decode step after the final token: its cache
-                # append would be wasted (and, at the clamp boundary,
-                # one slot past the cache)
-            logits, cache = self._decode_step_jit(
-                self.llama_params, cache, tok_arr)
+        appended = 0
+        try:
+            for i in range(gen_cfg.max_new_tokens):
+                rng, step_rng = jax.random.split(rng)
+                tok_arr = _sample_token(logits, step_rng, gen_cfg)
+                tok = int(tok_arr[0])
+                if tok == gen_cfg.eos_token_id:
+                    return
+                emitted.append(tok)
+                yield tok
+                if stop_fn is not None and stop_fn(emitted):
+                    return
+                if i + 1 == gen_cfg.max_new_tokens:
+                    return  # no decode step after the final token: its
+                    # cache append would be wasted (and, at the clamp
+                    # boundary, one slot past the cache)
+                logits, cache = self._decode_step_jit(
+                    self.llama_params, cache, tok_arr)
+                appended += 1
+        finally:
+            if session:
+                self._session = {
+                    "raw_ids": np.concatenate(
+                        [raw, np.asarray(emitted[:appended], np.int32)]),
+                    "image_fp": fp,
+                    "cache": cache,
+                }

@@ -237,6 +237,8 @@ class WebUIDemo:
         self.image_np: Optional[np.ndarray] = None
         self.raw_image: Optional[np.ndarray] = None
         self.first_turn = True
+        if hasattr(self.engine, "reset_session"):
+            self.engine.reset_session()
 
     def upload_image(self, image) -> None:
         from lhrs_bot_tpu.data.transforms import clip_preprocess_uint8
@@ -286,7 +288,7 @@ class WebUIDemo:
         emitted: List[int] = []
         for tok in self.engine.stream(
                 np.asarray([ids], np.int32), len(ids),
-                images=self.image_np, gen_cfg=gen_cfg):
+                images=self.image_np, gen_cfg=gen_cfg, session=True):
             emitted.append(tok)
             yield self.tokenizer.decode(emitted, skip_special_tokens=True)
         if emitted:

@@ -145,6 +145,93 @@ class TestEngine:
         stream_out = list(engine.stream(ids, 5, gen_cfg=gcfg))
         assert stream_out == batch_out[0]
 
+    def test_session_continuation_matches_fresh(self, setup):
+        """Multi-turn chat with session=True: turn 2 re-submits the whole
+        rendered history; the continuation (suffix-only prefill against
+        the turn-1 cache) must emit exactly the sessionless tokens."""
+        cfg, params, engine = setup
+        rng = np.random.default_rng(11)
+        turn1 = rng.integers(3, 200, size=(24,)).astype(np.int32)
+        gcfg = GenerationConfig(max_new_tokens=5)
+
+        engine.reset_session()
+        t1 = list(engine.stream(turn1[None], 24, gen_cfg=gcfg,
+                                session=True))
+        st = engine._session
+        assert st is not None
+        # cache holds prompt + all-but-last emitted token
+        assert len(st["raw_ids"]) == 24 + max(len(t1) - 1, 0)
+
+        # turn 2 = turn 1 + its answer + a new question (render parity)
+        turn2 = np.concatenate(
+            [turn1, np.asarray(t1, np.int32),
+             rng.integers(3, 200, size=(7,)).astype(np.int32)])
+        t2_session = list(engine.stream(turn2[None], len(turn2),
+                                        gen_cfg=gcfg, session=True))
+        assert engine._session is not None
+        assert len(engine._session["raw_ids"]) >= len(turn2)
+
+        engine.reset_session()
+        t2_fresh = list(engine.stream(turn2[None], len(turn2),
+                                      gen_cfg=gcfg))
+        assert t2_session == t2_fresh, (t2_session, t2_fresh)
+        engine.reset_session()
+
+    def test_session_multimodal_and_image_change_resets(self, setup):
+        """Image turns continue only while the image is unchanged: same
+        image -> continuation matches fresh; a different image must fall
+        back to a full prefill (no stale KV reuse)."""
+        cfg, params, engine = setup
+        img1 = np.zeros((1, 28, 28, 3), np.uint8)
+        img2 = np.full((1, 28, 28, 3), 255, np.uint8)
+        base = np.full((20,), 7, np.int32)
+        base[1] = IMAGE_TOKEN_INDEX
+        gcfg = GenerationConfig(max_new_tokens=4)
+
+        engine.reset_session()
+        t1 = list(engine.stream(base[None], 20, images=img1,
+                                gen_cfg=gcfg, session=True))
+        follow = np.concatenate(
+            [base, np.asarray(t1, np.int32),
+             np.arange(30, 42, dtype=np.int32)])
+        t2 = list(engine.stream(follow[None], len(follow), images=img1,
+                                gen_cfg=gcfg, session=True))
+        engine.reset_session()
+        t2_fresh = list(engine.stream(follow[None], len(follow),
+                                      images=img1, gen_cfg=gcfg))
+        assert t2 == t2_fresh
+
+        # same token history, DIFFERENT image: session must not be reused
+        engine.reset_session()
+        list(engine.stream(base[None], 20, images=img1, gen_cfg=gcfg,
+                           session=True))
+        t3 = list(engine.stream(follow[None], len(follow), images=img2,
+                                gen_cfg=gcfg, session=True))
+        engine.reset_session()
+        t3_fresh = list(engine.stream(follow[None], len(follow),
+                                      images=img2, gen_cfg=gcfg))
+        assert t3 == t3_fresh
+
+    def test_session_divergent_history_partial_match(self, setup):
+        """An edited history (common prefix, divergent tail) still
+        continues from the shared prefix and matches a fresh run."""
+        cfg, params, engine = setup
+        rng = np.random.default_rng(13)
+        a = rng.integers(3, 200, size=(40,)).astype(np.int32)
+        gcfg = GenerationConfig(max_new_tokens=4)
+        engine.reset_session()
+        list(engine.stream(a[None], 40, gen_cfg=gcfg, session=True))
+        b = a.copy()
+        b[30:] = rng.integers(3, 200, size=(10,))  # diverge mid-history
+        b = np.concatenate([b, rng.integers(3, 200, size=(6,))
+                            .astype(np.int32)])
+        t_sess = list(engine.stream(b[None], len(b), gen_cfg=gcfg,
+                                    session=True))
+        engine.reset_session()
+        t_fresh = list(engine.stream(b[None], len(b), gen_cfg=gcfg))
+        assert t_sess == t_fresh
+        engine.reset_session()
+
     def test_generate_clamps_to_cache_room(self, setup):
         """A prompt + max_new_tokens that overflows the cache must be
         clamped (engine parity with scheduler.admit): without the clamp the
@@ -261,6 +348,33 @@ class TestQuantizedEngine:
         a = e_host.generate(ids, np.asarray([6], np.int32), gen_cfg=gen)
         b = e_dev.generate(ids, np.asarray([6], np.int32), gen_cfg=gen)
         assert a == b, (a, b)
+
+    def test_session_continuation_int8_cache(self):
+        """Session continuation through the int8 KV cache (the 7B serving
+        configuration): the quantized scale planes must ride the cache
+        copy/continuation exactly like K/V."""
+        import numpy as np
+
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        engine = GenerationEngine(cfg, params, max_seq_len=96,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.int8)
+        rng = np.random.default_rng(17)
+        turn1 = rng.integers(3, 200, size=(20,)).astype(np.int32)
+        gcfg = GenerationConfig(max_new_tokens=4,
+                                eos_token_id=cfg.llama.eos_token_id)
+        t1 = list(engine.stream(turn1[None], 20, gen_cfg=gcfg,
+                                session=True))
+        turn2 = np.concatenate(
+            [turn1, np.asarray(t1, np.int32),
+             rng.integers(3, 200, size=(9,)).astype(np.int32)])
+        t2 = list(engine.stream(turn2[None], len(turn2), gen_cfg=gcfg,
+                                session=True))
+        engine.reset_session()
+        t2_fresh = list(engine.stream(turn2[None], len(turn2),
+                                      gen_cfg=gcfg))
+        assert t2 == t2_fresh, (t2, t2_fresh)
 
     def test_int8_decode_close_to_fp(self):
         cfg = VLMConfig.tiny_test(stage=0)
