@@ -112,6 +112,7 @@ def main():
                          "--pool-tokens")
     ap.add_argument("--pool-tokens", type=int, default=0)
     ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--prefill-chunk", type=int, default=0)
     args = ap.parse_args()
 
     from lhrs_bot_tpu.core.bootstrap import enable_compilation_cache
@@ -166,7 +167,8 @@ def main():
             num_pages=pool_tokens // args.page_size + 1,
             page_size=args.page_size,
             max_seq_len=args.max_seq_len, tokens_per_tick=8,
-            cache_dtype=cache_dtype, gen_cfg=gen_cfg, prompt_bucket=64)
+            cache_dtype=cache_dtype, gen_cfg=gen_cfg, prompt_bucket=64,
+            prefill_chunk=args.prefill_chunk or None)
     else:
         sched = ContinuousBatchingScheduler(
             cfg, {}, llama_params, max_batch=args.slots,

@@ -163,10 +163,12 @@ def build_engine(cfg, params, config):
     vision_w8a8 = bool(getattr(
         config, "vision_w8a8", on_tpu and quantize_bits == 8 and kernel_ok))
 
+    chunk = int(getattr(config, "prefill_chunk", 0) or 0)
     return GenerationEngine(
         cfg, params,
         max_seq_len=int(config.text.max_position_embeddings) + 256,
         cache_dtype=cache_dtype,
         quantize_bits=quantize_bits,
         vision_w8a8=vision_w8a8,
+        prefill_chunk=chunk or None,
     )

@@ -141,6 +141,7 @@ class GenerationEngine:
         prompt_bucket: int = 64,  # pad prompts up to a bucket width
         cache_bucket: int = 256,  # round cache lengths up to a bucket
         max_compiled_scans: int = 8,  # bound the decode-scan jit cache
+        prefill_chunk: Optional[int] = None,  # chunked prefill width
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -153,6 +154,13 @@ class GenerationEngine:
         self.prompt_bucket = prompt_bucket
         self.cache_bucket = cache_bucket
         self.max_compiled_scans = max_compiled_scans
+        # chunked prefill: run the decoder over fixed-width chunks of the
+        # spliced embeds (llama_prefill_continue against the growing
+        # cache) so ONE compiled transformer program serves every prompt
+        # length — at 7B each extra width bucket costs minutes of compile.
+        # Costs one extra dispatch per chunk (~20-40 ms via a remote
+        # runtime), so it is opt-in.
+        self.prefill_chunk = prefill_chunk
         # merge LoRA once at load (merge_and_unload parity, UniBind.py:110-116)
         # keep only the vision-side subtrees: the raw llama weights (13.5 GB
         # bf16 at 7B) would otherwise ride along as an unused jit argument
@@ -241,6 +249,9 @@ class GenerationEngine:
         self._session = None
         self._prefill_continue_jit = jax.jit(self._prefill_continue,
                                              donate_argnums=(1,))
+        self._splice_jit = jax.jit(self._splice)
+        self._continue_embeds_jit = jax.jit(self._continue_embeds,
+                                            donate_argnums=(1,))
 
     # -- jitted pieces ------------------------------------------------------
 
@@ -269,14 +280,64 @@ class GenerationEngine:
 
     def _prefill_continue(self, llama_params, cache, suffix_ids,
                           suffix_len, start):
-        from ..models.llama import llama_prefill_continue
-
         embeds = jnp.take(llama_params["embed_tokens"],
                           jnp.maximum(suffix_ids, 0), axis=0)
+        return self._continue_embeds(llama_params, cache, embeds,
+                                     suffix_len, start)
+
+    def _continue_embeds(self, llama_params, cache, embeds, suffix_len,
+                         start):
+        from ..models.llama import llama_prefill_continue
+
         return llama_prefill_continue(
             llama_params, self.cfg.llama, cache,
             inputs_embeds=embeds, suffix_len=suffix_len, start=start,
             compute_dtype=self.compute_dtype)
+
+    def _splice(self, params, llama_params, vision_packed, input_ids,
+                images, seq_lens):
+        spliced = prepare_multimodal_inputs(
+            params, self.cfg, input_ids, images,
+            attention_mask=jnp.arange(input_ids.shape[1])[None, :]
+            < seq_lens[:, None],
+            compute_dtype=self.compute_dtype,
+            llama_params=llama_params,
+            vision_packed=vision_packed,
+        )
+        return spliced.inputs_embeds, spliced.seq_len
+
+    def _chunked_prefill(self, input_ids, images, seq_lens, batch: int,
+                         cache_len: int):
+        """Width-independent prefill: splice once (vision tower + embed),
+        then run the decoder over fixed `prefill_chunk`-wide slices of the
+        embeds via the continuation program — one compiled transformer
+        prefill for EVERY prompt length. Returns (next-token logits,
+        cache), identical to the monolithic prefill."""
+        emb, spl_len = self._splice_jit(
+            self.params, self.llama_params, self._vision_packed,
+            input_ids, images, seq_lens)
+        w = self.prefill_chunk
+        s = emb.shape[1]
+        n_chunks = -(-s // w)
+        if s < n_chunks * w:
+            emb = jnp.pad(emb, ((0, 0), (0, n_chunks * w - s), (0, 0)))
+        cache = KVCache.create(self.cfg.llama, batch, cache_len,
+                               dtype=self.cache_dtype)
+        spl_host = np.asarray(spl_len)
+        last_chunk = np.maximum(spl_host - 1, 0) // w
+        per_chunk_logits = {}
+        for c in range(n_chunks):
+            start = jnp.minimum(spl_len, c * w)
+            sfx = jnp.clip(spl_len - c * w, 0, w)
+            logits_c, cache = self._continue_embeds_jit(
+                self.llama_params, cache, emb[:, c * w:(c + 1) * w],
+                sfx, start)
+            if (last_chunk == c).any():
+                per_chunk_logits[c] = logits_c
+        logits = jnp.stack(
+            [per_chunk_logits[int(last_chunk[r])][r]
+             for r in range(batch)])
+        return logits, cache
 
     def _decode_step(self, llama_params, cache, tokens):
         embeds = jnp.take(llama_params["embed_tokens"], tokens[:, None],
@@ -420,11 +481,17 @@ class GenerationEngine:
         input_ids = self._pad_ids(np.asarray(input_ids), width,
                                   gen_cfg.pad_token_id)
 
-        logits, cache = self._prefill_jit(
-            self.params, self.llama_params, self._vision_packed,
-            jnp.asarray(input_ids),
-            jnp.asarray(images) if images is not None else None,
-            jnp.asarray(seq_lens), batch=batch, cache_len=cache_len)
+        if self.prefill_chunk:
+            logits, cache = self._chunked_prefill(
+                jnp.asarray(input_ids),
+                jnp.asarray(images) if images is not None else None,
+                jnp.asarray(seq_lens), batch, cache_len)
+        else:
+            logits, cache = self._prefill_jit(
+                self.params, self.llama_params, self._vision_packed,
+                jnp.asarray(input_ids),
+                jnp.asarray(images) if images is not None else None,
+                jnp.asarray(seq_lens), batch=batch, cache_len=cache_len)
 
         rng, r0, r1 = jax.random.split(rng, 3)
         first = _sample_token(logits, r0, gen_cfg)
@@ -539,12 +606,18 @@ class GenerationEngine:
             if session:
                 self._session = None  # a failed prefill must not leave
                 # a stale session pointing at a donated cache
-            logits, cache = self._prefill_jit(
-                self.params, self.llama_params, self._vision_packed,
-                jnp.asarray(input_ids),
-                jnp.asarray(images) if images is not None else None,
-                jnp.asarray([seq_len], np.int32), batch=1,
-                cache_len=cache_len)
+            if self.prefill_chunk:
+                logits, cache = self._chunked_prefill(
+                    jnp.asarray(input_ids),
+                    jnp.asarray(images) if images is not None else None,
+                    jnp.asarray([seq_len], np.int32), 1, cache_len)
+            else:
+                logits, cache = self._prefill_jit(
+                    self.params, self.llama_params, self._vision_packed,
+                    jnp.asarray(input_ids),
+                    jnp.asarray(images) if images is not None else None,
+                    jnp.asarray([seq_len], np.int32), batch=1,
+                    cache_len=cache_len)
 
         emitted: List[int] = []
         appended = 0

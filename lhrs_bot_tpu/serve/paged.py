@@ -100,7 +100,8 @@ class PagedScheduler(ContinuousBatchingScheduler):
                  pages_per_seq: Optional[int] = None,
                  max_seq_len: Optional[int] = None,
                  prompt_bucket: int = 64,
-                 enable_prefix_cache: bool = True, **kw):
+                 enable_prefix_cache: bool = True,
+                 prefill_chunk: Optional[int] = None, **kw):
         if max_seq_len is None and pages_per_seq is None:
             raise ValueError("pass pages_per_seq or max_seq_len")
         if pages_per_seq is None:
@@ -127,6 +128,72 @@ class PagedScheduler(ContinuousBatchingScheduler):
         self.slot_pages = [[] for _ in range(self.max_batch)]
         self.slot_shared_keys = [[] for _ in range(self.max_batch)]
         self.slot_promoted_keys = [[] for _ in range(self.max_batch)]
+        # chunked prefill: decoder over fixed-width embed slices so ONE
+        # compiled transformer program serves every prompt width (each 7B
+        # width bucket is minutes of compile); the splice/vision program
+        # still buckets by width, but it is the cheap compile
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk:
+            if prefill_chunk % page_size:
+                raise ValueError(
+                    f"prefill_chunk {prefill_chunk} must be a multiple of "
+                    f"page_size {page_size} (chunk boundaries must land on "
+                    f"page boundaries)")
+            self._splice_jit = jax.jit(self._splice)
+            self._ctx_chunk_jit = jax.jit(self._ctx_chunk,
+                                          donate_argnums=(1,))
+            self._sample_jit = jax.jit(_sample_token_per_slot)
+            self._prefill_jit = self._prefill_chunked_host
+
+    def _splice(self, params, llama_params, input_ids, images, seq_lens):
+        spliced = prepare_multimodal_inputs(
+            params, self.cfg, input_ids, images,
+            attention_mask=jnp.arange(input_ids.shape[1])[None, :]
+            < seq_lens[:, None],
+            compute_dtype=self.compute_dtype,
+            llama_params=llama_params,
+        )
+        return spliced.inputs_embeds, spliced.seq_len
+
+    def _ctx_chunk(self, llama_params, cache, emb_chunk, suffix_len,
+                   ctx_len, slot_idx, table_rows):
+        return paged_prefill_with_context(
+            llama_params, self.cfg.llama, cache,
+            inputs_embeds=emb_chunk, suffix_len=suffix_len,
+            ctx_len=ctx_len, slot_idx=slot_idx, table_rows=table_rows,
+            compute_dtype=self.compute_dtype)
+
+    def _prefill_chunked_host(self, params, llama_params, input_ids,
+                              images, cache, slot_idx, seq_lens, rng,
+                              temps, top_ps, extra, *, width: int):
+        """Same signature as the jitted _prefill, but loops the decoder
+        over `prefill_chunk`-wide slices of the spliced embeds on the
+        host. For suffix-exhausted rows a chunk's ctx_len may be
+        page-UNaligned (ctx + full suffix) — harmless, they write
+        nothing."""
+        table_rows, ctx = extra
+        emb, spl_len = self._splice_jit(params, llama_params, input_ids,
+                                        images, seq_lens)
+        w = self.prefill_chunk
+        s = emb.shape[1]
+        n_chunks = -(-s // w)
+        if s < n_chunks * w:
+            emb = jnp.pad(emb, ((0, 0), (0, n_chunks * w - s), (0, 0)))
+        spl_host = np.asarray(spl_len)
+        last_chunk = np.maximum(spl_host - 1, 0) // w
+        per_chunk = {}
+        for c in range(n_chunks):
+            logits_c, cache = self._ctx_chunk_jit(
+                llama_params, cache, emb[:, c * w:(c + 1) * w],
+                jnp.clip(spl_len - c * w, 0, w),
+                ctx + jnp.minimum(spl_len, c * w),
+                slot_idx, table_rows)
+            if (last_chunk == c).any():
+                per_chunk[c] = logits_c
+        logits = jnp.stack([per_chunk[int(last_chunk[r])][r]
+                            for r in range(len(spl_host))])
+        first = self._sample_jit(logits, rng, temps, top_ps)
+        return first, cache
 
     # -- cache-strategy hooks --------------------------------------------------
 

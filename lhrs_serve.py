@@ -57,6 +57,10 @@ def main():
                                 "slots × S_max, i.e. same memory as the "
                                 "contiguous cache)"),
             p.add_argument("--page-size", type=int, default=64),
+            p.add_argument("--prefill-chunk", type=int, default=0,
+                           help="paged mode: run the prefill decoder over "
+                                "fixed-width embed chunks so one compiled "
+                                "program serves all prompt widths"),
             p.add_argument("--cpu", action="store_true",
                            help="force the CPU backend (smoke runs / "
                                 "debugging without a reachable TPU)"),
@@ -89,6 +93,7 @@ def main():
             cache_dtype=engine.cache_dtype,
             tokens_per_tick=int(config.tokens_per_tick),
             gen_cfg=gen_cfg,
+            prefill_chunk=int(config.prefill_chunk) or None,
         )
     else:
         sched = ContinuousBatchingScheduler(

@@ -145,6 +145,33 @@ class TestEngine:
         stream_out = list(engine.stream(ids, 5, gen_cfg=gcfg))
         assert stream_out == batch_out[0]
 
+    def test_chunked_prefill_matches_monolithic(self, setup):
+        """prefill_chunk=16: the decoder runs over fixed 16-wide embed
+        slices via the continuation program — outputs must equal the
+        monolithic prefill for ragged lengths, text and image prompts."""
+        cfg, params, engine = setup
+        chunked = GenerationEngine(cfg, params, max_seq_len=96,
+                                   compute_dtype=jnp.float32,
+                                   cache_dtype=jnp.float32,
+                                   prompt_bucket=16, prefill_chunk=16)
+        rng = np.random.default_rng(15)
+        ids = rng.integers(3, 200, size=(3, 41)).astype(np.int32)
+        lens = np.asarray([41, 17, 5], np.int32)
+        gcfg = GenerationConfig(max_new_tokens=4,
+                                eos_token_id=cfg.llama.eos_token_id)
+        a = engine.generate(ids, lens, gen_cfg=gcfg)
+        b = chunked.generate(ids, lens, gen_cfg=gcfg)
+        assert a == b, (a, b)
+
+        img_ids = np.full((1, 20), 7, np.int32)
+        img_ids[0, 1] = IMAGE_TOKEN_INDEX
+        img = np.zeros((1, 28, 28, 3), np.uint8)
+        a = engine.generate(img_ids, np.asarray([20], np.int32),
+                            images=img, gen_cfg=gcfg)
+        b = chunked.generate(img_ids, np.asarray([20], np.int32),
+                             images=img, gen_cfg=gcfg)
+        assert a == b, (a, b)
+
     def test_session_continuation_matches_fresh(self, setup):
         """Multi-turn chat with session=True: turn 2 re-submits the whole
         rendered history; the continuation (suffix-only prefill against

@@ -380,6 +380,46 @@ class TestPrefixCache:
         st = sched.pool_stats()["prefix"]
         assert st["tokens_reused"] >= 2 * 32  # 2nd+3rd reuse the system pages
 
+    def test_chunked_prefill_scheduler_equivalence(self):
+        """prefill_chunk=16: the decoder loops over fixed 16-wide embed
+        slices — token-for-token identical to the monolithic paged
+        prefill, including across prefix-cache reuse waves."""
+        import jax as _jax
+
+        from lhrs_bot_tpu.models import VLMConfig, init_vlm_params
+        from lhrs_bot_tpu.serve.engine import GenerationEngine
+        from lhrs_bot_tpu.serve.paged import PagedScheduler
+        from lhrs_bot_tpu.serve.scheduler import Request
+
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(_jax.random.PRNGKey(0), cfg)
+        engine = GenerationEngine(cfg, params, max_seq_len=96,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.float32)
+        rng = np.random.default_rng(21)
+        system = rng.integers(3, 200, size=(18,)).astype(np.int32)
+        prompts = [np.concatenate(
+            [system, rng.integers(3, 200, size=(n,)).astype(np.int32)])
+            for n in (23, 6, 15)]
+
+        def run(chunk):
+            sched = PagedScheduler(
+                cfg, params, engine.llama_params, max_batch=2,
+                num_pages=30, page_size=16, pages_per_seq=6,
+                compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+                prompt_bucket=16, tokens_per_tick=2,
+                prefill_chunk=chunk)
+            reqs = [Request(uid=i, input_ids=p, max_new_tokens=5)
+                    for i, p in enumerate(prompts)]
+            sched.run([reqs[0]])
+            sched.run(reqs[1:])
+            return [r.output_ids for r in reqs], sched
+
+        mono, _ = run(None)
+        chunked, sched = run(16)
+        assert chunked == mono, (chunked, mono)
+        assert sched.pool_stats()["prefix"]["tokens_reused"] >= 16
+
     def test_eviction_under_pressure(self):
         """A full pool of refcount-0 prefix pages must be evicted to admit
         new work rather than deferring forever."""
