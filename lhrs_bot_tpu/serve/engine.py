@@ -575,8 +575,12 @@ class GenerationEngine:
         common = self._session_match(raw, fp) if session else None
 
         if common is not None:
-            st, self._session = self._session, None  # claim the cache
             start_spl = common + (nq - 1 if (raw[:common] < 0).any() else 0)
+            if start_spl + self.prompt_bucket > self.max_seq_len:
+                common = None  # cache ~full: no room for a suffix chunk
+
+        if common is not None:
+            st, self._session = self._session, None  # claim the cache
             sfx = raw[common:]
             width = min(-(-len(sfx) // self.prompt_bucket)
                         * self.prompt_bucket,
