@@ -19,6 +19,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from .constants import IGNORE_INDEX
 from .llama import LlamaConfig, causal_lm_loss, init_llama_params, llama_apply
 from .lora import LoraConfig, init_lora_params, merge_lora
 from .perceiver import PerceiverConfig, init_perceiver_params, perceiver_resample
@@ -181,9 +182,16 @@ def prepare_multimodal_inputs(
 def vlm_forward_loss(
     params, cfg: VLMConfig, batch: Dict[str, jnp.ndarray],
     compute_dtype=jnp.bfloat16, remat: bool = False,
+    cp_mesh=None, seq_axis: str = "seq",
 ) -> Dict[str, jnp.ndarray]:
     """Training forward → {"text_loss", "total_loss"} (UniBind.forward
-    :178-199 semantics; total == text for the published recipes)."""
+    :178-199 semantics; total == text for the published recipes).
+
+    `cp_mesh`: run the DECODER context-parallel — vision tower + splice
+    stay batch-parallel (they are short and per-image), the spliced
+    sequence is padded to the ring size and sharded on `seq_axis`
+    (parallel/context.py). Long-context training beyond the reference's
+    2048-token cap; activation memory scales down with the ring."""
     llama_params = effective_llama_params(params, cfg)
     spliced = prepare_multimodal_inputs(
         params, cfg,
@@ -195,6 +203,25 @@ def vlm_forward_loss(
         remat=remat,
         llama_params=llama_params,
     )
+    if cp_mesh is not None:
+        from ..parallel.context import context_parallel_apply
+
+        cp = cp_mesh.shape[seq_axis]
+        s = spliced.inputs_embeds.shape[1]
+        pad = (-s) % cp
+        embeds, mask, labels = spliced.inputs_embeds, \
+            spliced.attention_mask, spliced.labels
+        if pad:
+            embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, pad)))
+            labels = jnp.pad(labels, ((0, 0), (0, pad)),
+                             constant_values=IGNORE_INDEX)
+        logits = context_parallel_apply(
+            llama_params, cfg.llama, cp_mesh,
+            inputs_embeds=embeds, attention_mask=mask,
+            seq_axis=seq_axis, compute_dtype=compute_dtype, remat=remat)
+        text_loss = causal_lm_loss(logits, labels)
+        return {"text_loss": text_loss, "total_loss": text_loss}
     logits = llama_apply(
         llama_params, cfg.llama,
         inputs_embeds=spliced.inputs_embeds,

@@ -46,6 +46,7 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
     trainable=None,
+    cp_mesh=None,
 ) -> Callable:
     """One fused optimization step.
 
@@ -59,7 +60,7 @@ def make_train_step(
             def loss_fn(p):
                 out = vlm_forward_loss(p, cfg, batch,
                                        compute_dtype=compute_dtype,
-                                       remat=remat)
+                                       remat=remat, cp_mesh=cp_mesh)
                 return out["total_loss"], out
 
             (_, out), grads = jax.value_and_grad(
@@ -76,7 +77,7 @@ def make_train_step(
                 p = jax.tree_util.tree_unflatten(treedef, full)
                 out = vlm_forward_loss(p, cfg, batch,
                                        compute_dtype=compute_dtype,
-                                       remat=remat)
+                                       remat=remat, cp_mesh=cp_mesh)
                 return out["total_loss"], out
 
             (_, out), g_list = jax.value_and_grad(

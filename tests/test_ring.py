@@ -142,6 +142,51 @@ class TestRingAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
 
+    def test_cp_train_step_matches(self):
+        """Full multimodal TRAIN step with the decoder context-parallel
+        (dp=2 x cp=4): loss and updated trainable params must match the
+        single-device step (ring attention backward + padded splice)."""
+        import optax
+
+        from lhrs_bot_tpu.models import VLMConfig, init_vlm_params
+        from lhrs_bot_tpu.models.constants import (IGNORE_INDEX,
+                                                   IMAGE_TOKEN_INDEX)
+        from lhrs_bot_tpu.models.vlm import trainable_mask
+        from lhrs_bot_tpu.parallel.context import make_cp_mesh
+        from lhrs_bot_tpu.train.trainer import make_train_step
+
+        cfg = VLMConfig.tiny_test(stage=1)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(19)
+        b, s = 2, 21
+        ids = rng.integers(3, 200, size=(b, s)).astype(np.int32)
+        ids[:, 1] = IMAGE_TOKEN_INDEX
+        labels = ids.copy()
+        labels[:, :4] = IGNORE_INDEX
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "labels": jnp.asarray(labels),
+            "attention_mask": jnp.ones((b, s), bool),
+            "images": jnp.zeros((b, 28, 28, 3), jnp.uint8),
+        }
+        tx = optax.adam(1e-3)
+        mask = trainable_mask(params, cfg)
+
+        def run(cp_mesh):
+            step = make_train_step(cfg, tx, compute_dtype=jnp.float32,
+                                   trainable=mask, cp_mesh=cp_mesh)
+            opt = tx.init(params)
+            new_p, _, out = jax.jit(step)(params, opt, batch)
+            return float(out["total_loss"]), new_p
+
+        loss_ref, p_ref = run(None)
+        loss_cp, p_cp = run(make_cp_mesh(cp=4, dp=2))
+        assert abs(loss_cp - loss_ref) < 1e-4, (loss_cp, loss_ref)
+        for a, b_ in zip(jax.tree_util.tree_leaves(p_cp),
+                         jax.tree_util.tree_leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=2e-4)
+
     def test_bf16_io(self):
         mesh = seq_mesh(4)
         q, k, v = rand_qkv(jax.random.PRNGKey(4), dtype=jnp.bfloat16)
