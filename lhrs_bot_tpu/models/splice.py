@@ -98,3 +98,73 @@ def splice_image_embeddings(
             jnp.where(gathered_attn, gathered_labels, IGNORE_INDEX))
 
     return SplicedBatch(embeds, attn_out, labels_out, seq_len.astype(jnp.int32))
+
+
+def splice_image_embeddings_multi(
+    input_ids: jnp.ndarray,     # (B, T) int32, up to K -200 markers per row
+    image_embeds: jnp.ndarray,  # (B, K, N_img, D) — slot k for marker k
+    embed_tokens: jnp.ndarray,  # (V, D)
+    attention_mask: Optional[jnp.ndarray] = None,  # (B, T) bool
+    labels: Optional[jnp.ndarray] = None,  # (B, T) int32
+) -> SplicedBatch:
+    """K-image generalization of the splice (the reference's per-sample
+    loop handles arbitrary image counts, text_modal.py:296-526; published
+    recipes train single-image, so this serves the multi-image CHAT
+    surface). Marker k in reading order expands to image slot k's N
+    embeddings; rows with fewer markers leave their trailing slots unused.
+    Static output width T + K*(N-1); same gather-only construction as the
+    single-image path."""
+    b, t = input_ids.shape
+    k_max, n_img = image_embeds.shape[1:3]
+    t_out = t + k_max * (n_img - 1)
+    sentinel = t_out + n_img + 1
+
+    is_img = input_ids == IMAGE_TOKEN_INDEX
+    pos = jnp.where(is_img, jnp.arange(t)[None, :], sentinel)
+    img_pos = jnp.sort(pos, axis=1)[:, :k_max]          # (B, K) ascending
+    # span k starts at its marker shifted by the expansion of spans before
+    start = img_pos + (n_img - 1) * jnp.arange(k_max)[None, :]  # (B, K)
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, t), dtype=bool)
+    valid_in = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+    k_count = jnp.minimum(jnp.sum(is_img, axis=1), k_max)
+    seq_len = valid_in + (n_img - 1) * k_count
+
+    out_pos = jnp.arange(t_out, dtype=jnp.int32)[None, :, None]  # (1,To,1)
+    st = start[:, None, :]                                       # (B,1,K)
+    inside_k = (out_pos >= st) & (out_pos < st + n_img)          # (B,To,K)
+    inside = jnp.any(inside_k, axis=-1)                          # (B, To)
+    which = jnp.argmax(inside_k, axis=-1).astype(jnp.int32)      # (B, To)
+    start_w = jnp.take_along_axis(start, which, axis=1)          # (B, To)
+    off = jnp.clip(out_pos[..., 0] - start_w, 0, n_img - 1)
+    flat_idx = which * n_img + off                               # (B, To)
+    img_flat = image_embeds.reshape(b, k_max * n_img, -1)
+    img_g = jnp.take_along_axis(img_flat, flat_idx[..., None], axis=1)
+
+    full_before = jnp.sum(out_pos[..., 0, None] >= st + n_img, axis=-1)
+    text_idx = out_pos[..., 0] - (n_img - 1) * full_before
+    text_valid = ~inside & (text_idx >= 0) & (text_idx < t)
+    text_idx_safe = jnp.clip(text_idx, 0, t - 1)
+    gathered_ids = jnp.take_along_axis(input_ids, text_idx_safe, axis=1)
+    gathered_ids_safe = jnp.where(gathered_ids == IMAGE_TOKEN_INDEX, 0,
+                                  gathered_ids)
+    text_embeds = jnp.take(embed_tokens, gathered_ids_safe, axis=0)
+    gathered_attn = jnp.take_along_axis(attention_mask, text_idx_safe,
+                                        axis=1)
+    emb_valid = text_valid & gathered_attn
+    embeds = jnp.where(
+        inside[..., None], img_g.astype(text_embeds.dtype),
+        jnp.where(emb_valid[..., None], text_embeds,
+                  jnp.zeros((), text_embeds.dtype)))
+    attn_out = inside | (text_valid & gathered_attn)
+
+    labels_out = None
+    if labels is not None:
+        gathered_labels = jnp.take_along_axis(labels, text_idx_safe, axis=1)
+        labels_out = jnp.where(
+            inside | ~text_valid, IGNORE_INDEX,
+            jnp.where(gathered_attn, gathered_labels, IGNORE_INDEX))
+
+    return SplicedBatch(embeds, attn_out, labels_out,
+                        seq_len.astype(jnp.int32))

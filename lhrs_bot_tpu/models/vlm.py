@@ -23,7 +23,8 @@ from .constants import IGNORE_INDEX
 from .llama import LlamaConfig, causal_lm_loss, init_llama_params, llama_apply
 from .lora import LoraConfig, init_lora_params, merge_lora
 from .perceiver import PerceiverConfig, init_perceiver_params, perceiver_resample
-from .splice import SplicedBatch, splice_image_embeddings
+from .splice import (SplicedBatch, splice_image_embeddings,
+                     splice_image_embeddings_multi)
 from .vit import ViTConfig, init_vit_params, vit_encode
 
 
@@ -172,6 +173,18 @@ def prepare_multimodal_inputs(
             embeds, attention_mask, labels,
             jnp.sum(attention_mask.astype(jnp.int32), axis=1),
         )
+    if images.ndim == 5:
+        # (B, K, H, W, 3): multi-image chat — encode all slots in one
+        # tower batch, splice marker k with slot k
+        b, k = images.shape[:2]
+        image_embeds = encode_image(
+            params, images.reshape((b * k,) + images.shape[2:]), cfg,
+            compute_dtype, remat, vision_packed=vision_packed,
+            interpret=interpret)
+        image_embeds = image_embeds.reshape(
+            b, k, *image_embeds.shape[1:])
+        return splice_image_embeddings_multi(
+            input_ids, image_embeds, embed_tokens, attention_mask, labels)
     image_embeds = encode_image(params, images, cfg, compute_dtype, remat,
                                 vision_packed=vision_packed,
                                 interpret=interpret)

@@ -472,11 +472,14 @@ class GenerationEngine:
         gen_cfg = gen_cfg or GenerationConfig()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         batch, t = input_ids.shape
-        n_img = self.cfg.pooler.num_query if images is not None else 0
+        k_img = (0 if images is None
+                 else images.shape[1] if np.ndim(images) == 5 else 1)
+        n_img = k_img * self.cfg.pooler.num_query
         width, cache_len = self._bucketed(t, n_img, gen_cfg.max_new_tokens)
         seq_lens = np.minimum(np.asarray(seq_lens), width)
         gen_cfg = self._clamp_new_tokens(
-            gen_cfg, int(seq_lens.max()) + (n_img - 1 if n_img else 0),
+            gen_cfg,
+            int(seq_lens.max()) + k_img * (self.cfg.pooler.num_query - 1),
             cache_len)
         input_ids = self._pad_ids(np.asarray(input_ids), width,
                                   gen_cfg.pad_token_id)
@@ -568,14 +571,17 @@ class GenerationEngine:
         gen_cfg = gen_cfg or GenerationConfig()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         t = input_ids.shape[1]
-        n_img = self.cfg.pooler.num_query if images is not None else 0
         nq = self.cfg.pooler.num_query
+        k_img = (0 if images is None
+                 else images.shape[1] if np.ndim(images) == 5 else 1)
+        n_img = k_img * nq
         raw = np.asarray(input_ids)[0, :int(seq_len)].astype(np.int32)
         fp = self._image_fp(images) if session else None
         common = self._session_match(raw, fp) if session else None
 
         if common is not None:
-            start_spl = common + (nq - 1 if (raw[:common] < 0).any() else 0)
+            # every image marker in the matched prefix expanded by nq-1
+            start_spl = common + (nq - 1) * int((raw[:common] < 0).sum())
             if start_spl + self.prompt_bucket > self.max_seq_len:
                 common = None  # cache ~full: no room for a suffix chunk
 
@@ -604,7 +610,7 @@ class GenerationEngine:
             seq_len = min(int(seq_len), width)
             raw = raw[:seq_len]
             gen_cfg = self._clamp_new_tokens(
-                gen_cfg, seq_len + (n_img - 1 if n_img else 0), cache_len)
+                gen_cfg, seq_len + k_img * (nq - 1), cache_len)
             input_ids = self._pad_ids(np.asarray(input_ids), width,
                                       gen_cfg.pad_token_id)
             if session:

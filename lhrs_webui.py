@@ -267,6 +267,33 @@ class WebUIDemo:
             self.conv.append_message(self.conv.roles[0], text)
         self.conv.append_message(self.conv.roles[1], None)
 
+    def add_image(self, image) -> None:
+        """Attach ANOTHER image mid-chat (multi-image conversation): the
+        next question's turn carries it, and generation splices every
+        history image in order. `upload_image` (reference parity) resets
+        the session instead."""
+        from lhrs_bot_tpu.data.transforms import clip_preprocess_uint8
+
+        self.raw_image = np.asarray(image)
+        self.image_np = clip_preprocess_uint8(
+            image, int(self.config.rgb_vision.input_size[0]))[None]
+        self.first_turn = True  # next ask() wraps <image> + tuple turn
+
+    def _history_images(self) -> Optional[np.ndarray]:
+        """All conversation-held images, preprocessed and stacked
+        (1, K, H, W, 3); K == 1 collapses to the single-image path."""
+        from lhrs_bot_tpu.data.transforms import clip_preprocess_uint8
+
+        pil_images = self.conv.get_images(return_pil=True)
+        if not pil_images:
+            return self.image_np
+        size = int(self.config.rgb_vision.input_size[0])
+        arrs = [clip_preprocess_uint8(np.asarray(im.convert("RGB")), size)
+                for im in pil_images]
+        if len(arrs) == 1:
+            return arrs[0][None]
+        return np.stack(arrs)[None]
+
     def answer_prepare(self) -> List[int]:
         from lhrs_bot_tpu.data.preprocess import tokenizer_image_token
 
@@ -288,7 +315,8 @@ class WebUIDemo:
         emitted: List[int] = []
         for tok in self.engine.stream(
                 np.asarray([ids], np.int32), len(ids),
-                images=self.image_np, gen_cfg=gen_cfg, session=True):
+                images=self._history_images(), gen_cfg=gen_cfg,
+                session=True):
             emitted.append(tok)
             yield self.tokenizer.decode(emitted, skip_special_tokens=True)
         if emitted:
@@ -336,8 +364,14 @@ def launch_demo(demo: WebUIDemo, server_port: int = 7860):
 
         state = {"demo": demo}
 
-        def on_upload(img):
-            state["demo"].upload_image(img)
+        def on_upload(img, history):
+            d = state["demo"]
+            if history and d.conv.messages:
+                # mid-chat upload ADDS an image to the conversation
+                # (multi-image chat); a fresh upload starts a new session
+                d.add_image(img)
+                return history
+            d.upload_image(img)
             return []
 
         def on_ask(text, task_tag, history, temperature):
@@ -351,7 +385,7 @@ def launch_demo(demo: WebUIDemo, server_port: int = 7860):
                 history[-1][1] = colored
                 yield history, img
 
-        image_in.upload(on_upload, [image_in], [chatbot])
+        image_in.upload(on_upload, [image_in, chatbot], [chatbot])
         textbox.submit(on_ask, [textbox, tag, chatbot, temp],
                        [chatbot, vis_out])
     ui.queue().launch(server_port=server_port, share=False)

@@ -145,6 +145,40 @@ class TestEngine:
         stream_out = list(engine.stream(ids, 5, gen_cfg=gcfg))
         assert stream_out == batch_out[0]
 
+    def test_multi_image_generate_matches_cacheless(self, setup):
+        """Two images in one prompt (B, K, H, W, 3): greedy generation
+        must match rolling the cacheless forward over the multi-spliced
+        embeds (splice slot k <- marker k, in order)."""
+        from lhrs_bot_tpu.models.vlm import prepare_multimodal_inputs
+
+        cfg, params, engine = setup
+        rng = np.random.default_rng(23)
+        ids = rng.integers(3, 200, size=(1, 14)).astype(np.int32)
+        ids[0, [2, 8]] = IMAGE_TOKEN_INDEX
+        imgs = rng.integers(0, 255, size=(1, 2, 28, 28, 3)).astype(np.uint8)
+        gcfg = GenerationConfig(max_new_tokens=4,
+                                eos_token_id=cfg.llama.eos_token_id)
+        out = engine.generate(ids, np.asarray([14], np.int32),
+                              images=imgs, gen_cfg=gcfg)[0]
+
+        spliced = prepare_multimodal_inputs(
+            engine.params, cfg, jnp.asarray(ids), jnp.asarray(imgs),
+            compute_dtype=jnp.float32, llama_params=engine.llama_params)
+        emb = spliced.inputs_embeds[:, :int(spliced.seq_len[0])]
+        expect = []
+        for _ in range(4):
+            logits = llama_apply(engine.llama_params, cfg.llama,
+                                 inputs_embeds=emb,
+                                 compute_dtype=jnp.float32)
+            nxt = int(jnp.argmax(logits[0, -1]))
+            if nxt == cfg.llama.eos_token_id:
+                break
+            expect.append(nxt)
+            emb = jnp.concatenate(
+                [emb, jnp.take(engine.llama_params["embed_tokens"],
+                               jnp.asarray([[nxt]]), axis=0)], axis=1)
+        assert out == expect, (out, expect)
+
     def test_chunked_prefill_matches_monolithic(self, setup):
         """prefill_chunk=16: the decoder runs over fixed 16-wide embed
         slices via the continuation program — outputs must equal the

@@ -180,6 +180,91 @@ class TestSplice:
         np.testing.assert_array_equal(
             np.asarray(out.seq_len), [8 + n_img - 1, t + n_img - 1, t])
 
+    def _oracle_multi(self, ids, img, table, attn, labels, k_max, n_img):
+        """Per-row Python loop, K images: marker j consumes slot j."""
+        b, t = ids.shape
+        t_out = t + k_max * (n_img - 1)
+        d = table.shape[1]
+        emb = np.zeros((b, t_out, d), np.float32)
+        attn_o = np.zeros((b, t_out), bool)
+        lab_o = np.full((b, t_out), IGNORE_INDEX, np.int64)
+        for r in range(b):
+            row_e, row_a, row_l = [], [], []
+            slot = 0
+            for i, tok in enumerate(ids[r]):
+                if tok == IMAGE_TOKEN_INDEX and slot < k_max:
+                    row_e.extend(img[r, slot])
+                    row_a.extend([True] * n_img)
+                    row_l.extend([IGNORE_INDEX] * n_img)
+                    slot += 1
+                elif attn[r, i]:
+                    row_e.append(table[max(tok, 0)])
+                    row_a.append(True)
+                    row_l.append(labels[r, i])
+            emb[r, :len(row_e)] = row_e
+            attn_o[r, :len(row_a)] = row_a
+            lab_o[r, :len(row_l)] = row_l
+        return emb, attn_o, lab_o
+
+    def test_multi_image_matches_python_oracle(self):
+        from lhrs_bot_tpu.models.splice import splice_image_embeddings_multi
+
+        rng = np.random.default_rng(5)
+        b, t, k_max, n_img, v, d = 4, 12, 3, 4, 50, 8
+        table = rng.normal(size=(v, d)).astype(np.float32)
+        img = rng.normal(size=(b, k_max, n_img, d)).astype(np.float32)
+        ids = rng.integers(1, v, size=(b, t))
+        ids[0, [2, 7]] = IMAGE_TOKEN_INDEX       # two images
+        ids[1, [0, 5, 9]] = IMAGE_TOKEN_INDEX    # three (== K)
+        ids[2, 4] = IMAGE_TOKEN_INDEX            # one
+        # row 3: none
+        attn = np.ones((b, t), bool)
+        attn[0, 10:] = False
+        labels = rng.integers(1, v, size=(b, t))
+
+        out = splice_image_embeddings_multi(
+            jnp.asarray(ids), jnp.asarray(img), jnp.asarray(table),
+            jnp.asarray(attn), jnp.asarray(labels))
+        emb_o, attn_o, lab_o = self._oracle_multi(
+            ids, img, table, attn, labels, k_max, n_img)
+        np.testing.assert_array_equal(np.asarray(out.attention_mask),
+                                      attn_o)
+        np.testing.assert_array_equal(np.asarray(out.labels), lab_o)
+        for r in range(b):
+            np.testing.assert_allclose(
+                np.asarray(out.inputs_embeds)[r][attn_o[r]],
+                emb_o[r][attn_o[r]], atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(out.seq_len),
+            [10 + 2 * (n_img - 1), t + 3 * (n_img - 1),
+             t + (n_img - 1), t])
+
+    def test_multi_image_k1_equals_single(self):
+        from lhrs_bot_tpu.models.splice import splice_image_embeddings_multi
+
+        rng = np.random.default_rng(6)
+        b, t, n_img, v, d = 2, 9, 3, 30, 6
+        table = rng.normal(size=(v, d)).astype(np.float32)
+        img = rng.normal(size=(b, n_img, d)).astype(np.float32)
+        ids = rng.integers(1, v, size=(b, t))
+        ids[0, 4] = IMAGE_TOKEN_INDEX
+        labels = rng.integers(1, v, size=(b, t))
+        single = splice_image_embeddings(
+            jnp.asarray(ids), jnp.asarray(img), jnp.asarray(table),
+            labels=jnp.asarray(labels))
+        multi = splice_image_embeddings_multi(
+            jnp.asarray(ids), jnp.asarray(img)[:, None], jnp.asarray(table),
+            labels=jnp.asarray(labels))
+        np.testing.assert_array_equal(np.asarray(single.seq_len),
+                                      np.asarray(multi.seq_len))
+        m = np.asarray(single.attention_mask)
+        np.testing.assert_array_equal(m, np.asarray(multi.attention_mask))
+        np.testing.assert_allclose(
+            np.asarray(single.inputs_embeds)[m],
+            np.asarray(multi.inputs_embeds)[m], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(single.labels)[m],
+                                      np.asarray(multi.labels)[m])
+
     def test_image_embeds_present(self):
         d = 4
         table = np.zeros((10, d), np.float32)

@@ -125,6 +125,29 @@ class TestWebUIDemoLogic:
         # conversation updated with the final answer
         assert demo.conv.messages[-1][1] == chunks[-1]
 
+    def test_multi_image_chat(self, demo):
+        """add_image mid-chat: the next turn carries a second image, the
+        prompt holds two -200 markers, generation runs over a
+        (1, 2, H, W, 3) stack, and history renders both images."""
+        from lhrs_bot_tpu.models.constants import IMAGE_TOKEN_INDEX
+
+        demo.reset()
+        demo.upload_image(np.zeros((40, 40, 3), np.uint8))
+        demo.ask("describe the first image")
+        chunks = list(demo.stream_answer(temperature=0.0,
+                                         max_new_tokens=3))
+        assert chunks
+        demo.add_image(np.full((40, 40, 3), 200, np.uint8))
+        demo.ask("compare it with this second image")
+        ids = demo.answer_prepare()
+        assert sum(1 for i in ids if i == IMAGE_TOKEN_INDEX) == 2
+        imgs = demo._history_images()
+        assert imgs.shape == (1, 2, 28, 28, 3)
+        chunks2 = list(demo.stream_answer(temperature=0.0,
+                                          max_new_tokens=3))
+        assert chunks2
+        assert len(demo.conv.get_images(return_pil=True)) == 2
+
     def test_identify_appends_bbox(self, demo):
         demo.reset()
         demo.upload_image(np.zeros((40, 40, 3), np.uint8))
