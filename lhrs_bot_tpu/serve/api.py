@@ -290,6 +290,12 @@ def make_handler(frontend: ServingFrontend):
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok", **frontend.stats()})
+            elif self.path == "/stats":
+                body = {"status": "ok", **frontend.stats()}
+                pool = getattr(frontend.sched, "pool_stats", None)
+                if callable(pool):  # paged scheduler: pool + prefix cache
+                    body["pool"] = pool()
+                self._send(200, body)
             else:
                 self._send(404, {"error": "not found"})
 

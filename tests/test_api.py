@@ -292,6 +292,12 @@ class TestServingAPI:
         finally:
             frontend.shutdown()
 
+    def test_stats_route(self, server):
+        with urllib.request.urlopen(server + "/stats", timeout=30) as r:
+            data = json.loads(r.read())
+        assert data["status"] == "ok"
+        assert "active" in data and "queued" in data
+
     def test_unknown_route(self, server):
         try:
             with urllib.request.urlopen(server + "/nope", timeout=30) as r:
