@@ -71,31 +71,36 @@ class ServingFrontend:
             self._uid += 1
             return self._uid
 
-    def build_request(self, prompt: str, image: Optional[np.ndarray],
+    def build_request(self, prompt: str, image,
                       max_new_tokens: int,
                       temperature: Optional[float] = None,
                       top_p: Optional[float] = None) -> Request:
+        """`image`: None, one (H, W, 3) array, or a LIST of arrays for a
+        multi-image prompt (marker k in reading order pairs with image k)."""
         conv = conv_lib.conv_templates[self.prompt_template].copy()
         text = prompt
-        # single-image invariant: the splice expands exactly one -200 token;
-        # extra occurrences would silently embed as token id 0, and a text-only
-        # request must carry none at all.
+        images = ([] if image is None
+                  else list(image) if isinstance(image, (list, tuple))
+                  else [image])
+        k = len(images)
+        # marker/image invariant: the splice pairs marker j with image
+        # slot j — normalize the prompt to EXACTLY k markers (surplus
+        # markers would silently embed as token id 0, missing ones would
+        # drop images).
         n_img = text.count(DEFAULT_IMAGE_TOKEN)
-        if image is None:
-            if n_img:
-                logger.warning("request has no image — stripping %d '%s' "
-                               "token(s) from the prompt",
-                               n_img, DEFAULT_IMAGE_TOKEN)
-                text = text.replace(DEFAULT_IMAGE_TOKEN, "").strip()
-        elif n_img > 1:
-            logger.warning("prompt contains %d image tokens — keeping the "
-                           "first only", n_img)
-            first, rest = text.split(DEFAULT_IMAGE_TOKEN, 1)
-            text = (first + DEFAULT_IMAGE_TOKEN
-                    + rest.replace(DEFAULT_IMAGE_TOKEN, "")).strip()
-        if image is not None and DEFAULT_IMAGE_TOKEN not in text:
-            text = DEFAULT_IMAGE_TOKEN + "\n" + text
-        if image is not None:
+        if n_img > k:
+            logger.warning("prompt has %d image tokens for %d image(s) — "
+                           "keeping the first %d", n_img, k, k)
+            parts = text.split(DEFAULT_IMAGE_TOKEN)
+            text = (DEFAULT_IMAGE_TOKEN.join(parts[:k + 1])
+                    + "".join(parts[k + 1:])).strip()
+        elif n_img < k:
+            missing = k - n_img
+            text = (DEFAULT_IMAGE_TOKEN + "\n") * missing + text
+        if k == 1:
+            # single-image front-normalization + mmtag/im_start wrap
+            # (text_modal.py:546-562 parity); the wrap collapses markers,
+            # so multi-image prompts keep their markers in place
             from ..data.preprocess import wrap_image_token_for_generation
 
             text = wrap_image_token_for_generation(text)
@@ -104,8 +109,13 @@ class ServingFrontend:
         ids = np.asarray(
             tokenizer_image_token(conv.get_prompt(), self.tokenizer),
             np.int32)
-        img = (clip_preprocess_uint8(image, self.image_size)
-               if image is not None else None)
+        if k == 0:
+            img = None
+        elif k == 1:
+            img = clip_preprocess_uint8(images[0], self.image_size)
+        else:
+            img = np.stack([clip_preprocess_uint8(im, self.image_size)
+                            for im in images])
         # a tokenizer/model vocab mismatch must fail HERE (-> HTTP 400),
         # not downstream: embedding lookup fills out-of-vocab rows with NaN
         # and the NaN logits argmax/sample to token 0 forever — the request
@@ -303,13 +313,18 @@ def make_handler(frontend: ServingFrontend):
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
             prompt = payload["prompt"]
-            image = None
-            if payload.get("image_b64"):
+
+            def decode_b64(b64):
                 from PIL import Image
 
-                raw = base64.b64decode(payload["image_b64"])
-                image = np.asarray(
-                    Image.open(io.BytesIO(raw)).convert("RGB"))
+                raw = base64.b64decode(b64)
+                return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+
+            image = None
+            if payload.get("images_b64"):  # multi-image prompt
+                image = [decode_b64(b) for b in payload["images_b64"]]
+            elif payload.get("image_b64"):
+                image = decode_b64(payload["image_b64"])
             temp = payload.get("temperature")
             top_p = payload.get("top_p")
             return (prompt, image, int(payload.get("max_new_tokens", 128)),

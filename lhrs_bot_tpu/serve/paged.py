@@ -241,8 +241,7 @@ class PagedScheduler(ContinuousBatchingScheduler):
         return -(-tokens // self.page_size)
 
     def _img_extra(self, req) -> int:
-        return (self.cfg.pooler.num_query - 1
-                if req.image is not None else 0)
+        return self._image_count(req) * (self.cfg.pooler.num_query - 1)
 
     def _match_request(self, req) -> _Match:
         ids = np.asarray(req.input_ids)

@@ -296,39 +296,60 @@ class ContinuousBatchingScheduler:
             done += b
         return len(batch)
 
+    @staticmethod
+    def _image_count(req) -> int:
+        """0, 1, or K (for a (K, H, W, 3) multi-image request)."""
+        if req.image is None:
+            return 0
+        return req.image.shape[0] if req.image.ndim == 4 else 1
+
     def _admit_chunk(self, batch: List[Request], slots: List[int]) -> None:
         import logging
 
         log = logging.getLogger("lhrs_tpu")
         b = len(batch)
         t = max(len(self._packed_ids(r)) for r in batch)
-        has_image = any(r.image is not None for r in batch)
-        # an image expands the spliced prefill by num_query-1 tokens
-        # (the -200 placeholder becomes num_query pooled embeddings), so the
-        # prompt budget must leave room for the expansion in the cache
+        k_max = max((self._image_count(r) for r in batch), default=0)
+        # each image marker expands the spliced prefill by num_query-1
+        # tokens (the -200 placeholder becomes num_query pooled
+        # embeddings), so the prompt budget must leave room in the cache
         nq = self.cfg.pooler.num_query
-        width_cap = (self.max_seq_len - nq + 1 if has_image
-                     else self.max_seq_len)
+        width_cap = self.max_seq_len - k_max * (nq - 1)
         width = min(_round_up(t, self.prompt_bucket), width_cap)
         if t > width:
             log.warning(
                 "prompt length %d exceeds admissible width %d "
                 "(max_seq_len=%d%s) — truncating",
                 t, width, self.max_seq_len,
-                f", image expansion {nq - 1}" if has_image else "")
+                f", image expansion {k_max * (nq - 1)}" if k_max else "")
         ids = np.full((b, width), self.pad, np.int32)
         lens = np.zeros(b, np.int32)
         imgs = None
-        if has_image:
+        if k_max:
             h = self.cfg.vit.image_size
-            imgs = np.zeros((b, h, h, 3), np.uint8)
+            # (b, H, W, 3) when every request has <= 1 image (the compiled
+            # single-image program); (b, K, H, W, 3) for multi-image chunks
+            shape = ((b, h, h, 3) if k_max == 1 else (b, k_max, h, h, 3))
+            imgs = np.zeros(shape, np.uint8)
         for row, req in enumerate(batch):
             pids = self._packed_ids(req)
             n = min(len(pids), width)
             ids[row, :n] = pids[:n]
             lens[row] = n
+            # markers beyond this request's own image count must not
+            # splice-expand against another row's zero-padded slots:
+            # degrade them to token 0 (single-image path parity)
+            neg = np.flatnonzero(ids[row, :n] < 0)
+            for j in neg[self._image_count(req):]:
+                ids[row, j] = 0
             if imgs is not None and req.image is not None:
-                imgs[row] = req.image
+                im = req.image
+                if k_max == 1:
+                    imgs[row] = im[0] if im.ndim == 4 else im
+                elif im.ndim == 4:
+                    imgs[row, :im.shape[0]] = im
+                else:
+                    imgs[row, 0] = im
 
         temps = np.asarray(
             [self._default_temp if r.temperature is None else r.temperature
@@ -347,8 +368,10 @@ class ContinuousBatchingScheduler:
         budgets = []
         for row, req in enumerate(batch):
             spliced = int(lens[row])
-            if req.image is not None and np.any(ids[row, :spliced] < 0):
-                spliced += nq - 1
+            if req.image is not None:
+                n_markers = min(int((ids[row, :spliced] < 0).sum()),
+                                self._image_count(req))
+                spliced += n_markers * (nq - 1)
             room = max(1, self._room(slots[row], spliced, req))
             if req.max_new_tokens > room:
                 log.warning(

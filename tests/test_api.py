@@ -292,6 +292,28 @@ class TestServingAPI:
         finally:
             frontend.shutdown()
 
+    def test_generate_multi_image(self, server):
+        """images_b64 list: two images, markers auto-inserted, runs to
+        completion through the batched scheduler."""
+        from PIL import Image
+
+        def b64(arr):
+            img = Image.fromarray(arr)
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
+        rng = np.random.default_rng(3)
+        imgs = [rng.integers(0, 255, size=(32, 32, 3)).astype(np.uint8)
+                for _ in range(2)]
+        status, data = _post(server, {
+            "prompt": "compare <image> with <image>",
+            "images_b64": [b64(i) for i in imgs],
+            "max_new_tokens": 3})
+        assert status == 200
+        assert data["finish_reason"] == "stop"
+        assert 1 <= len(data["tokens"]) <= 3
+
     def test_stats_route(self, server):
         with urllib.request.urlopen(server + "/stats", timeout=30) as r:
             data = json.loads(r.read())

@@ -243,6 +243,76 @@ class TestSamplingScheduler:
         assert run_once() == run_once()
 
 
+class TestMultiImageScheduler:
+    def test_multi_image_request_matches_engine(self, setup):
+        """A 2-image request batched WITH a 1-image and a text request:
+        every output must match the plain engine run of the same prompt
+        (the (b, K, H, W, 3) chunk packing + per-row marker accounting)."""
+        cfg, params, engine, _ = setup
+        sched = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=3, max_seq_len=96,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+            eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16)
+        rng = np.random.default_rng(31)
+        img1 = rng.integers(0, 255, size=(28, 28, 3)).astype(np.uint8)
+        img2 = rng.integers(0, 255, size=(28, 28, 3)).astype(np.uint8)
+
+        ids2 = rng.integers(3, 200, size=(12,)).astype(np.int32)
+        ids2[[1, 6]] = IMAGE_TOKEN_INDEX
+        ids1 = rng.integers(3, 200, size=(9,)).astype(np.int32)
+        ids1[2] = IMAGE_TOKEN_INDEX
+        ids0 = rng.integers(3, 200, size=(7,)).astype(np.int32)
+
+        reqs = [
+            Request(uid=0, input_ids=ids2, image=np.stack([img1, img2]),
+                    max_new_tokens=5),
+            Request(uid=1, input_ids=ids1, image=img1, max_new_tokens=5),
+            Request(uid=2, input_ids=ids0, max_new_tokens=5),
+        ]
+        sched.run(reqs)
+
+        gcfg = GenerationConfig(max_new_tokens=5,
+                                eos_token_id=cfg.llama.eos_token_id)
+        e2 = engine.generate(ids2[None], np.asarray([12]),
+                             images=np.stack([img1, img2])[None],
+                             gen_cfg=gcfg)[0]
+        e1 = engine.generate(ids1[None], np.asarray([9]),
+                             images=img1[None], gen_cfg=gcfg)[0]
+        e0 = engine.generate(ids0[None], np.asarray([7]), gen_cfg=gcfg)[0]
+        assert reqs[0].output_ids == e2, (reqs[0].output_ids, e2)
+        assert reqs[1].output_ids == e1
+        assert reqs[2].output_ids == e0
+
+    def test_surplus_markers_degrade_to_token0(self, setup):
+        """A request with more -200 markers than images must not expand
+        the surplus against zero-image slots (composition-independent)."""
+        cfg, params, engine, _ = setup
+        sched = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=2, max_seq_len=96,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+            eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16)
+        rng = np.random.default_rng(33)
+        img = rng.integers(0, 255, size=(28, 28, 3)).astype(np.uint8)
+        ids = rng.integers(3, 200, size=(10,)).astype(np.int32)
+        ids[[1, 5]] = IMAGE_TOKEN_INDEX  # 2 markers, 1 image
+        two_img_ids = rng.integers(3, 200, size=(8,)).astype(np.int32)
+        two_img_ids[[0, 4]] = IMAGE_TOKEN_INDEX
+        reqs = [
+            Request(uid=0, input_ids=ids, image=img, max_new_tokens=4),
+            Request(uid=1, input_ids=two_img_ids,
+                    image=np.stack([img, img]), max_new_tokens=4),
+        ]
+        sched.run(reqs)
+        # oracle: surplus marker replaced by token 0, single image
+        fixed = ids.copy()
+        fixed[5] = 0
+        gcfg = GenerationConfig(max_new_tokens=4,
+                                eos_token_id=cfg.llama.eos_token_id)
+        e = engine.generate(fixed[None], np.asarray([10]),
+                            images=img[None], gen_cfg=gcfg)[0]
+        assert reqs[0].output_ids == e, (reqs[0].output_ids, e)
+
+
 class TestMultiTokenTick:
     def test_chunk_matches_single_step(self, setup):
         """tokens_per_tick=8 must be token-for-token identical to
