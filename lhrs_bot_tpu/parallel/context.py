@@ -22,7 +22,6 @@ casing (the padded labels are IGNORE_INDEX-masked by causal_lm_loss).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

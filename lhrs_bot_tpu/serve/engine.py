@@ -19,7 +19,6 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import jax

@@ -26,9 +26,7 @@ calls for batched multi-user serving. This scheduler provides it TPU-style:
 from __future__ import annotations
 
 import dataclasses
-import queue
-import threading
-from typing import Callable, Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +42,8 @@ from .engine import (GenerationConfig, _sample_token,
 class Request:
     uid: int
     input_ids: np.ndarray  # (T,) prompt token ids (may contain -200)
-    image: Optional[np.ndarray] = None  # (H, W, 3) uint8
+    image: Optional[np.ndarray] = None  # (H, W, 3) uint8, or
+    # (K, H, W, 3) for a multi-image prompt (marker k <- image k)
     max_new_tokens: int = 128
     # per-request sampling (None -> the scheduler's GenerationConfig
     # defaults); temperature 0 means greedy regardless of top_p

@@ -438,6 +438,31 @@ class TestPrefixCache:
         st = sched.pool_stats()
         assert st["free_pages"] + st["prefix"]["evictable"] == 9
 
+    def test_fail_all_releases_pages(self):
+        """The serving worker's error recovery (fail_all) must return
+        every page — private, shared and promoted — to the pool."""
+        from lhrs_bot_tpu.serve.scheduler import Request
+
+        cfg, params, sched = _tiny_serving(max_batch=2)
+        rng = np.random.default_rng(12)
+        p = rng.integers(3, 200, size=(33,)).astype(np.int32)
+        r1 = Request(uid=1, input_ids=p, max_new_tokens=40)
+        n = sched.admit([r1])
+        assert n == 1 and sched.active.any()
+        # a second identical request shares the promoted pages
+        r2 = Request(uid=2, input_ids=p, max_new_tokens=40)
+        sched.admit([r2])
+        sched.fail_all()
+        assert not sched.active.any()
+        st = sched.pool_stats()
+        assert (st["free_pages"] + st["prefix"]["evictable"]
+                == st["total_pages"])
+        assert st["prefix"]["evictable"] == st["prefix"]["entries"]
+        # pool fully serviceable again
+        r3 = Request(uid=3, input_ids=p, max_new_tokens=4)
+        sched.run([r3])
+        assert r3.done and len(r3.output_ids) >= 1
+
     def test_image_pages_not_promoted(self):
         """Pages containing the image splice must never enter the pool."""
         from lhrs_bot_tpu.serve.scheduler import Request
