@@ -44,6 +44,21 @@ from .scheduler import ContinuousBatchingScheduler, Request
 logger = logging.getLogger("lhrs_tpu")
 
 
+def _decode_data_url(url: str) -> np.ndarray:
+    """data:image/...;base64,XXX → (H, W, 3) uint8 (OpenAI vision URLs)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    if not url.startswith("data:"):
+        raise ValueError("only data: image URLs are supported "
+                         "(no egress from the serving host)")
+    b64 = url.split(",", 1)[1]
+    return np.asarray(
+        Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB"))
+
+
 class ServingFrontend:
     """Prompt assembly + request queue + scheduler worker."""
 
@@ -106,9 +121,58 @@ class ServingFrontend:
             text = wrap_image_token_for_generation(text)
         conv.append_message(conv.roles[0], text)
         conv.append_message(conv.roles[1], None)
+        return self._finalize_request(conv, images, max_new_tokens,
+                                      temperature, top_p)
+
+    def build_chat_request(self, messages, max_new_tokens: int,
+                           temperature: Optional[float] = None,
+                           top_p: Optional[float] = None) -> Request:
+        """OpenAI-style `messages` → conversation-template Request.
+
+        Roles: optional leading "system" (overrides the template's system
+        prompt), then alternating "user"/"assistant", ending on "user".
+        A user message's content may be a string or the OpenAI vision
+        list format ({"type": "text"|"image_url"} parts with base64
+        data: URLs) — each image becomes a splice marker in order."""
+        conv = conv_lib.conv_templates[self.prompt_template].copy()
+        images: list = []
+        msgs = list(messages)
+        if msgs and msgs[0].get("role") == "system":
+            conv.system = str(msgs[0].get("content", ""))
+            msgs = msgs[1:]
+        if not msgs or msgs[-1].get("role") != "user":
+            raise ValueError("the last chat message must be role=user")
+        role_map = {"user": conv.roles[0], "assistant": conv.roles[1]}
+        for m in msgs:
+            role = m.get("role")
+            if role not in role_map:
+                raise ValueError(f"unsupported chat role {role!r}")
+            content = m.get("content", "")
+            if isinstance(content, list):  # vision content parts
+                texts = []
+                for part in content:
+                    ptype = part.get("type")
+                    if ptype == "text":
+                        texts.append(part.get("text", ""))
+                    elif ptype == "image_url":
+                        url = part.get("image_url", {}).get("url", "")
+                        images.append(_decode_data_url(url))
+                        texts.append(DEFAULT_IMAGE_TOKEN)
+                    else:
+                        raise ValueError(
+                            f"unsupported content part {ptype!r}")
+                content = "\n".join(t for t in texts if t)
+            conv.append_message(role_map[role], str(content))
+        conv.append_message(conv.roles[1], None)
+        return self._finalize_request(conv, images, max_new_tokens,
+                                      temperature, top_p)
+
+    def _finalize_request(self, conv, images, max_new_tokens,
+                          temperature, top_p) -> Request:
         ids = np.asarray(
             tokenizer_image_token(conv.get_prompt(), self.tokenizer),
             np.int32)
+        k = len(images)
         if k == 0:
             img = None
         elif k == 1:
@@ -153,6 +217,40 @@ class ServingFrontend:
         with self._cancel_lock:
             self._cancelled.add(uid)
         return True
+
+    def warmup(self, prompt_lens=(64, 256, 1024), batches=(1, 2),
+               max_new: int = 9) -> float:
+        """Pre-compile the serving programs (prefill buckets × admission
+        chunk sizes + the decode tick) by running dummy generations
+        through the scheduler BEFORE the port binds. With the persistent
+        compilation cache this is one-time per release; without it, it
+        moves the minutes-long 7B compile cliff from the first user
+        request to startup. Returns elapsed seconds."""
+        import time
+
+        t0 = time.monotonic()
+        rng = np.random.default_rng(0)
+        vocab = getattr(getattr(self.sched, "cfg", None), "llama", None)
+        hi = vocab.vocab_size - 1 if vocab is not None else 200
+        for b in batches:
+            if b > self.sched.max_batch:
+                continue
+            for n in prompt_lens:
+                n = max(1, min(n, self.sched.max_seq_len - max_new - 1))
+                # one wave per (chunk size, width): through the worker
+                # queue — the worker owns the scheduler, never race it
+                reqs = [Request(uid=self._next_uid(),
+                                input_ids=rng.integers(
+                                    3, hi, size=(n,)).astype(np.int32),
+                                max_new_tokens=max_new) for _ in range(b)]
+                evs = [self.submit(r) for r in reqs]
+                for ev in evs:
+                    ev.wait(timeout=1200)
+        dt = time.monotonic() - t0
+        logger.info("serving warmup done in %.1f s "
+                    "(prompt buckets %s x chunk sizes %s)",
+                    dt, list(prompt_lens), list(batches))
+        return dt
 
     def stats(self) -> Dict[str, int]:
         return {"active": int(self.sched.active.sum()),
@@ -250,12 +348,8 @@ class ServingFrontend:
                 self.cancel(req.uid)
             self._events.pop(req.uid, None)
 
-    def generate_blocking(self, prompt: str, image: Optional[np.ndarray],
-                          max_new_tokens: int, timeout: float = 300.0,
-                          temperature: Optional[float] = None,
-                          top_p: Optional[float] = None):
-        req = self.build_request(prompt, image, max_new_tokens,
-                                 temperature=temperature, top_p=top_p)
+    def await_request(self, req: Request, timeout: float = 300.0):
+        """Submit and block until done/timeout; returns the result dict."""
         self.submit(req)
         import time
 
@@ -282,6 +376,14 @@ class ServingFrontend:
         if req.error is not None:
             out["error"] = req.error
         return out
+
+    def generate_blocking(self, prompt: str, image: Optional[np.ndarray],
+                          max_new_tokens: int, timeout: float = 300.0,
+                          temperature: Optional[float] = None,
+                          top_p: Optional[float] = None):
+        req = self.build_request(prompt, image, max_new_tokens,
+                                 temperature=temperature, top_p=top_p)
+        return self.await_request(req, timeout)
 
 
 def make_handler(frontend: ServingFrontend):
@@ -363,11 +465,90 @@ def make_handler(frontend: ServingFrontend):
             except (BrokenPipeError, ConnectionResetError):
                 frontend.cancel(req.uid)
 
+        def _chat_completions(self):
+            """OpenAI-compatible /v1/chat/completions: messages in (string
+            or vision content parts with data: image URLs), completion or
+            SSE stream out."""
+            length = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            temp = payload.get("temperature")
+            top_p = payload.get("top_p")
+            req = frontend.build_chat_request(
+                payload["messages"],
+                int(payload.get("max_tokens",
+                                payload.get("max_completion_tokens", 128))),
+                temperature=None if temp is None else float(temp),
+                top_p=None if top_p is None else float(top_p))
+            model = payload.get("model", "lhrs-bot-tpu")
+            cid = f"chatcmpl-{req.uid}"
+            n_prompt = int(len(req.input_ids))
+
+            if payload.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+
+                def sse(obj):
+                    self.wfile.write(b"data: " + json.dumps(obj).encode()
+                                     + b"\n\n")
+                    self.wfile.flush()
+
+                decoded = ""
+                ids = []
+                try:
+                    sse({"id": cid, "object": "chat.completion.chunk",
+                         "model": model,
+                         "choices": [{"index": 0, "delta":
+                                      {"role": "assistant"},
+                                      "finish_reason": None}]})
+                    for tok in frontend.stream_tokens(req):
+                        ids.append(tok)
+                        full = frontend.tokenizer.decode(
+                            ids, skip_special_tokens=True)
+                        delta, decoded = full[len(decoded):], full
+                        sse({"id": cid,
+                             "object": "chat.completion.chunk",
+                             "model": model,
+                             "choices": [{"index": 0,
+                                          "delta": {"content": delta},
+                                          "finish_reason": None}]})
+                    reason = ("stop" if req.done and not req.cancelled
+                              and req.error is None else "length")
+                    sse({"id": cid, "object": "chat.completion.chunk",
+                         "model": model,
+                         "choices": [{"index": 0, "delta": {},
+                                      "finish_reason": reason}]})
+                    self.wfile.write(b"data: [DONE]\n\n")
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    frontend.cancel(req.uid)
+                return
+
+            result = frontend.await_request(req)
+            reason = {"stop": "stop", "timeout": "length"}.get(
+                result["finish_reason"], result["finish_reason"])
+            self._send(200, {
+                "id": cid, "object": "chat.completion", "model": model,
+                "choices": [{"index": 0,
+                             "message": {"role": "assistant",
+                                         "content": result["text"]},
+                             "finish_reason": reason}],
+                "usage": {"prompt_tokens": n_prompt,
+                          "completion_tokens": len(result["tokens"]),
+                          "total_tokens": n_prompt
+                          + len(result["tokens"])}})
+
         def do_POST(self):
-            if self.path not in ("/generate", "/generate_stream"):
+            routes = ("/generate", "/generate_stream",
+                      "/v1/chat/completions")
+            if self.path not in routes:
                 self._send(404, {"error": "not found"})
                 return
             try:
+                if self.path == "/v1/chat/completions":
+                    self._chat_completions()
+                    return
                 prompt, image, max_new, temp, top_p = self._parse_body()
                 if self.path == "/generate_stream":
                     self._stream(prompt, image, max_new, temp, top_p)
@@ -386,6 +567,6 @@ def make_handler(frontend: ServingFrontend):
 
 def serve(frontend: ServingFrontend, port: int = 8000):
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(frontend))
-    logger.info("serving API on :%d (POST /generate, "
-                "POST /generate_stream, GET /health)", port)
+    logger.info("serving API on :%d (POST /generate, /generate_stream, "
+                "/v1/chat/completions; GET /health, /stats)", port)
     server.serve_forever()

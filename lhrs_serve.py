@@ -64,6 +64,10 @@ def main():
             p.add_argument("--cpu", action="store_true",
                            help="force the CPU backend (smoke runs / "
                                 "debugging without a reachable TPU)"),
+            p.add_argument("--warmup", action="store_true",
+                           help="pre-compile the serving programs before "
+                                "binding the port (one-time with the "
+                                "persistent compilation cache)"),
         ))
     logger = setup(config)
 
@@ -108,6 +112,8 @@ def main():
         sched, tokenizer,
         image_size=int(config.rgb_vision.input_size[0]),
         prompt_template=getattr(config, "prompt_template", "llava_llama_2"))
+    if getattr(config, "warmup", False):
+        frontend.warmup()
     logger.info("serving on port %d (%d slots, S_max=%d, cache=%s)",
                 config.port, config.slots, engine.max_seq_len,
                 jnp.dtype(engine.cache_dtype).name)

@@ -320,6 +320,102 @@ class TestServingAPI:
         assert data["status"] == "ok"
         assert "active" in data and "queued" in data
 
+    def test_chat_completions(self, server):
+        """OpenAI-compatible endpoint: multi-turn messages, usage counts,
+        choices envelope."""
+        body = {"model": "lhrs", "max_tokens": 4, "messages": [
+            {"role": "system", "content": "you are a remote sensing bot"},
+            {"role": "user", "content": "hello there"},
+            {"role": "assistant", "content": "hi"},
+            {"role": "user", "content": "what can you see"}]}
+        req = urllib.request.Request(
+            server + "/v1/chat/completions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            data = json.loads(resp.read())
+        assert data["object"] == "chat.completion"
+        choice = data["choices"][0]
+        assert choice["message"]["role"] == "assistant"
+        assert choice["finish_reason"] in ("stop", "length")
+        u = data["usage"]
+        assert u["total_tokens"] == (u["prompt_tokens"]
+                                     + u["completion_tokens"])
+        assert 1 <= u["completion_tokens"] <= 4
+
+    def test_chat_completions_stream_and_vision(self, server):
+        """SSE stream with a vision content part (data: URL image)."""
+        from PIL import Image as PILImage
+
+        buf = io.BytesIO()
+        PILImage.fromarray(np.zeros((24, 24, 3), np.uint8)).save(
+            buf, format="PNG")
+        data_url = ("data:image/png;base64,"
+                    + base64.b64encode(buf.getvalue()).decode())
+        body = {"stream": True, "max_tokens": 3, "messages": [
+            {"role": "user", "content": [
+                {"type": "text", "text": "describe this"},
+                {"type": "image_url", "image_url": {"url": data_url}}]}]}
+        req = urllib.request.Request(
+            server + "/v1/chat/completions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        events = []
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.headers["Content-Type"] == "text/event-stream"
+            for raw in resp:
+                raw = raw.strip()
+                if not raw.startswith(b"data: "):
+                    continue
+                payload = raw[len(b"data: "):]
+                if payload == b"[DONE]":
+                    events.append("DONE")
+                else:
+                    events.append(json.loads(payload))
+        assert events[-1] == "DONE"
+        assert events[-2]["choices"][0]["finish_reason"] in ("stop",
+                                                             "length")
+        deltas = [e["choices"][0]["delta"].get("content", "")
+                  for e in events[:-2] if e != "DONE"]
+        assert any(deltas)
+
+    def test_chat_bad_roles(self, server):
+        body = {"messages": [{"role": "user", "content": "a"},
+                             {"role": "assistant", "content": "b"}]}
+        req = urllib.request.Request(
+            server + "/v1/chat/completions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=60):
+                status = 200
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 400  # last message must be role=user
+
+    def test_warmup(self):
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        engine = GenerationEngine(cfg, params, max_seq_len=64,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.float32)
+        sched = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=2, max_seq_len=64,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+            prompt_bucket=16)
+        frontend = ServingFrontend(sched, FakeTokenizer(cfg.llama.vocab_size),
+                                   image_size=28)
+        try:
+            dt = frontend.warmup(prompt_lens=(8, 24), batches=(1, 2),
+                                 max_new=3)
+            assert dt > 0
+            assert not sched.active.any()
+            # serving still healthy after warmup
+            out = frontend.generate_blocking("hello", None, 3, timeout=60)
+            assert out["finish_reason"] == "stop"
+        finally:
+            frontend.shutdown()
+
     def test_unknown_route(self, server):
         try:
             with urllib.request.urlopen(server + "/nope", timeout=30) as r:
