@@ -438,6 +438,53 @@ class TestPrefixCache:
         st = sched.pool_stats()
         assert st["free_pages"] + st["prefix"]["evictable"] == 9
 
+    def test_sampling_and_k8_tick_equivalence(self):
+        """Paged scheduler with per-request sampling and tokens_per_tick=8
+        must match the contiguous scheduler token-for-token under the same
+        RNG seed (identical logits -> identical categorical draws)."""
+        import jax as _jax
+
+        from lhrs_bot_tpu.models import VLMConfig, init_vlm_params
+        from lhrs_bot_tpu.serve.engine import (GenerationConfig,
+                                               GenerationEngine)
+        from lhrs_bot_tpu.serve.paged import PagedScheduler
+        from lhrs_bot_tpu.serve.scheduler import (
+            ContinuousBatchingScheduler, Request)
+
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(_jax.random.PRNGKey(0), cfg)
+        engine = GenerationEngine(cfg, params, max_seq_len=96,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.float32)
+        rng = np.random.default_rng(41)
+        prompts = [rng.integers(3, 200, size=(n,)).astype(np.int32)
+                   for n in (19, 8)]
+
+        def reqs():
+            return [Request(uid=0, input_ids=prompts[0], max_new_tokens=7,
+                            temperature=1.5, top_p=0.9),
+                    Request(uid=1, input_ids=prompts[1], max_new_tokens=7,
+                            temperature=0.0)]
+
+        kw = dict(max_batch=2, compute_dtype=jnp.float32,
+                  cache_dtype=jnp.float32, prompt_bucket=16,
+                  tokens_per_tick=8,
+                  gen_cfg=GenerationConfig(
+                      eos_token_id=cfg.llama.eos_token_id))
+        base = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_seq_len=96,
+            rng=_jax.random.PRNGKey(5), **kw)
+        a = reqs()
+        base.run(a)
+        paged = PagedScheduler(
+            cfg, params, engine.llama_params, num_pages=20, page_size=16,
+            pages_per_seq=6, rng=_jax.random.PRNGKey(5), **kw)
+        b = reqs()
+        paged.run(b)
+        for ra, rb in zip(a, b):
+            assert rb.output_ids == ra.output_ids, (
+                ra.uid, rb.output_ids, ra.output_ids)
+
     def test_fail_all_releases_pages(self):
         """The serving worker's error recovery (fail_all) must return
         every page — private, shared and promoted — to the pool."""
