@@ -485,6 +485,68 @@ class TestPrefixCache:
             assert rb.output_ids == ra.output_ids, (
                 ra.uid, rb.output_ids, ra.output_ids)
 
+    def test_page_accounting_fuzz(self):
+        """Randomized admit/step/cancel stream: at every point the pool
+        must conserve pages — free + prefix-held + slot-held == total —
+        and no page may be held twice."""
+        from lhrs_bot_tpu.serve.scheduler import Request
+
+        cfg, params, sched = _tiny_serving(max_batch=3, num_pages=24,
+                                           pages_per_seq=5)
+        total = sched.num_pages - 1
+        rng = np.random.default_rng(99)
+        pending = []
+        uid = 0
+        live = []
+
+        def check():
+            free = set(sched.allocator._free)
+            prefix_pages = {e.page for e in sched.prefix._entries.values()}
+            slot_pages = set()
+            for lst in sched.slot_pages:
+                slot_pages |= set(lst)
+            # no overlap between ownership classes
+            assert not free & prefix_pages, (free, prefix_pages)
+            assert not free & slot_pages
+            assert not prefix_pages & slot_pages
+            assert 0 not in free | prefix_pages | slot_pages
+            assert len(free) + len(prefix_pages) + len(slot_pages) == total
+
+        for step in range(60):
+            op = rng.random()
+            if op < 0.4:
+                n = int(rng.integers(5, 40))
+                # repeat some prompts to exercise prefix sharing
+                if live and rng.random() < 0.4:
+                    ids = live[int(rng.integers(len(live)))].input_ids
+                else:
+                    ids = rng.integers(3, 200, size=(n,)).astype(np.int32)
+                r = Request(uid=uid, input_ids=np.asarray(ids),
+                            max_new_tokens=int(rng.integers(1, 12)))
+                uid += 1
+                pending.append(r)
+                k = sched.admit(pending)
+                live.extend(pending[:k])
+                pending = pending[k:]
+            elif op < 0.55 and live:
+                victim = live[int(rng.integers(len(live)))]
+                sched.cancel(victim.uid)
+            else:
+                sched.step()
+            live = [r for r in live if not r.done]
+            check()
+        # drain
+        for _ in range(200):
+            if not sched.active.any() and not pending:
+                break
+            if pending:
+                k = sched.admit(pending)
+                live.extend(pending[:k])
+                pending = pending[k:]
+            sched.step()
+            check()
+        assert not sched.active.any()
+
     def test_fail_all_releases_pages(self):
         """The serving worker's error recovery (fail_all) must return
         every page — private, shared and promoted — to the pool."""
