@@ -133,7 +133,7 @@ def build_model_and_tokenizer(config, *, eval_mode: bool = False):
     return cfg, params, tokenizer
 
 
-def build_engine(cfg, params, config):
+def build_engine(cfg, params, config, mesh=None):
     """Engine assembly honoring the serving knobs of the config surface.
 
     `bits: 8` (reference bitsandbytes recipe, text_modal.py:91-109) reaches
@@ -171,4 +171,5 @@ def build_engine(cfg, params, config):
         quantize_bits=quantize_bits,
         vision_w8a8=vision_w8a8,
         prefill_chunk=chunk or None,
+        mesh=mesh,
     )

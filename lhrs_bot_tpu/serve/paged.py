@@ -198,10 +198,25 @@ class PagedScheduler(ContinuousBatchingScheduler):
     # -- cache-strategy hooks --------------------------------------------------
 
     def _make_cache(self):
-        return PagedKVCache.create(
+        cache = PagedKVCache.create(
             self.cfg.llama, self.max_batch, self.num_pages,
             self.pages_per_seq, page_size=self.page_size,
             dtype=self.cache_dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import MODEL_AXIS
+
+            pool = P(None, MODEL_AXIS, None, None, None)  # heads on TP
+            spool = P(None, MODEL_AXIS, None, None)
+            spec = PagedKVCache(
+                k_pages=pool, v_pages=pool, page_table=P(), lengths=P(),
+                k_scale_pages=spool if cache.quantized else None,
+                v_scale_pages=spool if cache.quantized else None)
+            cache = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(
+                    x, NamedSharding(self.mesh, s)), cache, spec)
+        return cache
 
     def _prefill(self, params, llama_params, input_ids, images, cache,
                  slot_idx, seq_lens, rng, temps, top_ps, extra,

@@ -77,16 +77,26 @@ class ContinuousBatchingScheduler:
         tokens_per_tick: int = 8,
         gen_cfg: Optional[GenerationConfig] = None,
         rng: Optional[jax.Array] = None,
+        mesh=None,  # jax.sharding.Mesh → TP-sharded decoder + KV cache
     ):
         self.cfg = cfg
+        self.mesh = mesh
         # vision-side subtrees only — raw llama weights must not become an
         # unused jit argument of the prefill (see engine.py)
         self.params = jax.device_put(
             {k: v for k, v in params.items()
              if k not in ("llama", "lora")}
             if isinstance(params, dict) else params)
-        # pin on device once (host numpy jit args re-upload per call)
-        self.llama_params = jax.device_put(llama_params)
+        if mesh is not None:
+            # multi-chip serving: decoder params arrive TP-sharded from
+            # the engine (shard_llama_for_serving) or are sharded here;
+            # a bare device_put would gather them onto one device
+            from ..parallel.partition import shard_llama_for_serving
+
+            self.llama_params = shard_llama_for_serving(mesh, llama_params)
+        else:
+            # pin on device once (host numpy jit args re-upload per call)
+            self.llama_params = jax.device_put(llama_params)
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len
         self.compute_dtype = compute_dtype
@@ -148,8 +158,16 @@ class ContinuousBatchingScheduler:
     # -- cache-strategy hooks (overridden by the paged scheduler) -------------
 
     def _make_cache(self):
-        return KVCache.create(self.cfg.llama, self.max_batch,
-                              self.max_seq_len, dtype=self.cache_dtype)
+        cache = KVCache.create(self.cfg.llama, self.max_batch,
+                               self.max_seq_len, dtype=self.cache_dtype)
+        if self.mesh is not None:
+            from ..parallel.partition import kv_cache_spec, to_named
+
+            cache = jax.tree_util.tree_map(
+                jax.device_put, cache,
+                to_named(self.mesh,
+                         kv_cache_spec(quantized=cache.quantized)))
+        return cache
 
     def _install_prefill(self, cache, tmp, slot_idx, seq_lens, table_rows):
         """Scatter a bucketed prefill's KV rows into the persistent cache."""

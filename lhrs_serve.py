@@ -72,9 +72,17 @@ def main():
     logger = setup(config)
 
     cfg, params, tokenizer = build_model_and_tokenizer(config, eval_mode=True)
+    # --tp N (common arg): multi-chip serving — decoder weights and KV
+    # heads shard over the ICI mesh
+    mesh = None
+    tp = getattr(config, "tp", None)
+    if tp and int(tp) > 1:
+        from lhrs_bot_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=1, tp=int(tp))
     # engine prep does the heavy lifting once: LoRA merge + optional int8
     # quantization on the host, params pinned on device
-    engine = build_engine(cfg, params, config)
+    engine = build_engine(cfg, params, config, mesh=mesh)
     del params
 
     t = float(config.temperature)
@@ -90,6 +98,7 @@ def main():
                        or int(config.slots) * engine.max_seq_len)
         sched = PagedScheduler(
             cfg, engine.params, engine.llama_params,
+            mesh=mesh,
             max_batch=int(config.slots),
             num_pages=pool_tokens // page + 1,  # +1: reserved null page
             page_size=page,
@@ -102,6 +111,7 @@ def main():
     else:
         sched = ContinuousBatchingScheduler(
             cfg, engine.params, engine.llama_params,
+            mesh=mesh,
             max_batch=int(config.slots),
             max_seq_len=engine.max_seq_len,
             cache_dtype=engine.cache_dtype,

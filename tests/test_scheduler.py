@@ -313,6 +313,60 @@ class TestMultiImageScheduler:
         assert reqs[0].output_ids == e, (reqs[0].output_ids, e)
 
 
+class TestMeshScheduler:
+    def test_tp_sharded_scheduler_matches(self, setup):
+        """Multi-chip serving: the scheduler over a dp=1 x tp=4 mesh
+        (TP-sharded decoder + head-sharded KV cache) must emit exactly
+        the single-device scheduler's tokens."""
+        from lhrs_bot_tpu.parallel.mesh import make_mesh
+
+        cfg, params, engine, _ = setup
+        rng = np.random.default_rng(51)
+        prompts = [rng.integers(3, 200, size=(n,)).astype(np.int32)
+                   for n in (21, 6, 13)]
+
+        def run(mesh):
+            sched = ContinuousBatchingScheduler(
+                cfg, params, engine.llama_params, max_batch=2,
+                max_seq_len=96, compute_dtype=jnp.float32,
+                cache_dtype=jnp.float32, prompt_bucket=16,
+                tokens_per_tick=2, mesh=mesh,
+                eos_token_id=cfg.llama.eos_token_id)
+            reqs = [Request(uid=i, input_ids=p, max_new_tokens=5)
+                    for i, p in enumerate(prompts)]
+            sched.run(reqs)
+            return [r.output_ids for r in reqs]
+
+        ref = run(None)
+        tp = run(make_mesh(dp=1, tp=4))
+        assert tp == ref, (tp, ref)
+
+    def test_tp_sharded_paged_scheduler_matches(self, setup):
+        from lhrs_bot_tpu.parallel.mesh import make_mesh
+        from lhrs_bot_tpu.serve.paged import PagedScheduler
+
+        cfg, params, engine, _ = setup
+        rng = np.random.default_rng(53)
+        prompts = [rng.integers(3, 200, size=(n,)).astype(np.int32)
+                   for n in (17, 9)]
+
+        def run(mesh):
+            sched = PagedScheduler(
+                cfg, params, engine.llama_params, max_batch=2,
+                num_pages=20, page_size=16, pages_per_seq=6,
+                compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+                prompt_bucket=16, tokens_per_tick=2, mesh=mesh,
+                eos_token_id=cfg.llama.eos_token_id)
+            reqs = [Request(uid=i, input_ids=p, max_new_tokens=5)
+                    for i, p in enumerate(prompts)]
+            sched.run(reqs)
+            return [r.output_ids for r in reqs]
+
+        ref = run(None)
+        tp = run(make_mesh(dp=1, tp=4))
+        assert tp == ref, (tp, ref)
+
+
 class TestMultiTokenTick:
     def test_chunk_matches_single_step(self, setup):
         """tokens_per_tick=8 must be token-for-token identical to
