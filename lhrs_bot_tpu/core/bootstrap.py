@@ -41,6 +41,11 @@ def add_common_args(parser: ConfigArgumentParser) -> None:
     parser.add_argument("--tp", type=int, default=None,
                         help="tensor-parallel mesh size")
     parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--scheduled-eval", action="store_true",
+                        help="route eval generation through the "
+                             "continuous-batching scheduler (slots free "
+                             "at EOS instead of stepping every row for "
+                             "max_new_tokens)")
 
 
 def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:

@@ -56,25 +56,50 @@ def main():
     bs = int(config.batch_size)
     indices = list(range(config.rank, len(dataset), config.world_size))
     records = []
-    for start in range(0, len(indices), bs):
-        items = []
-        for i in indices[start:start + bs]:
-            item = dataset[i]
-            item["input_ids"] = np.asarray(
-                prompt_ids(item["question"], item["choices"]))
-            items.append(item)
-        batch = collator(items)
-        out = engine.generate(batch["input_ids"], batch["seq_lens"],
-                              images=batch["images"], gen_cfg=gen_cfg)
-        for item, ids in zip(items, out):
+    if getattr(config, "scheduled_eval", False):
+        from lhrs_bot_tpu.eval.scheduled import scheduler_generate
+
+        metas = []
+
+        def item_stream():
+            for i in indices:
+                item = dataset[i]
+                metas.append({"answer": item["answer"],
+                              "qtype": item["type"]})
+                yield {"input_ids": np.asarray(
+                    prompt_ids(item["question"], item["choices"])),
+                    "image": item["image"]}
+
+        outs = scheduler_generate(
+            cfg, engine, item_stream(), len(indices), gen_cfg=gen_cfg,
+            max_batch=bs, logger=logger)
+        for meta, ids in zip(metas, outs):
             records.append({
-                "pred": tokenizer.decode(ids, skip_special_tokens=True)
-                .strip(),
-                "answer": item["answer"],
-                "qtype": item["type"],
+                "pred": tokenizer.decode(
+                    ids, skip_special_tokens=True).strip(),
+                "answer": meta["answer"],
+                "qtype": meta["qtype"],
             })
-        if (start // bs) % 10 == 0:
-            logger.info("eval %d/%d", start + len(items), len(indices))
+    else:
+        for start in range(0, len(indices), bs):
+            items = []
+            for i in indices[start:start + bs]:
+                item = dataset[i]
+                item["input_ids"] = np.asarray(
+                    prompt_ids(item["question"], item["choices"]))
+                items.append(item)
+            batch = collator(items)
+            out = engine.generate(batch["input_ids"], batch["seq_lens"],
+                                  images=batch["images"], gen_cfg=gen_cfg)
+            for item, ids in zip(items, out):
+                records.append({
+                    "pred": tokenizer.decode(ids, skip_special_tokens=True)
+                    .strip(),
+                    "answer": item["answer"],
+                    "qtype": item["type"],
+                })
+            if (start // bs) % 10 == 0:
+                logger.info("eval %d/%d", start + len(items), len(indices))
 
     from lhrs_bot_tpu.parallel.distribute import all_gather_object
 

@@ -58,21 +58,43 @@ def main():
     bs = int(config.batch_size)
     indices = list(range(config.rank, len(dataset), config.world_size))
     records = []
-    for start in range(0, len(indices), bs):
-        items = [dataset[i] for i in indices[start:start + bs]]
-        b = len(items)
-        ids = np.tile(np.asarray(prompt_ids, np.int32)[None], (b, 1))
-        lens = np.full((b,), len(prompt_ids), np.int32)
-        images = np.stack([it["image"] for it in items])
-        out = engine.generate(ids, lens, images=images, gen_cfg=gen_cfg)
-        for item, oids in zip(items, out):
+    if getattr(config, "scheduled_eval", False):
+        from lhrs_bot_tpu.eval.scheduled import scheduler_generate
+
+        metas = []
+
+        def item_stream():
+            for i in indices:
+                it = dataset[i]
+                metas.append({"target": it["caption"],
+                              "filename": it["filename"]})
+                yield {"input_ids": np.asarray(prompt_ids, np.int32),
+                       "image": it["image"]}
+
+        outs = scheduler_generate(
+            cfg, engine, item_stream(), len(indices), gen_cfg=gen_cfg,
+            max_batch=bs, logger=logger)
+        for meta, oids in zip(metas, outs):
             records.append({
                 "pred": tokenizer.decode(oids, skip_special_tokens=True),
-                "target": item["caption"],
-                "filename": item["filename"],
+                **meta,
             })
-        if (start // bs) % 10 == 0:
-            logger.info("eval %d/%d", start + len(items), len(indices))
+    else:
+        for start in range(0, len(indices), bs):
+            items = [dataset[i] for i in indices[start:start + bs]]
+            b = len(items)
+            ids = np.tile(np.asarray(prompt_ids, np.int32)[None], (b, 1))
+            lens = np.full((b,), len(prompt_ids), np.int32)
+            images = np.stack([it["image"] for it in items])
+            out = engine.generate(ids, lens, images=images, gen_cfg=gen_cfg)
+            for item, oids in zip(items, out):
+                records.append({
+                    "pred": tokenizer.decode(oids, skip_special_tokens=True),
+                    "target": item["caption"],
+                    "filename": item["filename"],
+                })
+            if (start // bs) % 10 == 0:
+                logger.info("eval %d/%d", start + len(items), len(indices))
 
     merged = save_result(records, config.output, config.rank,
                          config.world_size, filename="caption_result")

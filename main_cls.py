@@ -58,18 +58,34 @@ def main():
     ids_batch = np.tile(np.asarray(prompt_ids, np.int32)[None], (bs, 1))
     lens = np.full((bs,), len(prompt_ids), np.int32)
     indices = list(range(config.rank, len(dataset), config.world_size))
-    for start in range(0, len(indices), bs):
-        chunk = indices[start:start + bs]
-        items = [dataset[i] for i in chunk]
-        images = np.stack([it["image"] for it in items])
-        n = len(chunk)
-        out = engine.generate(ids_batch[:n], lens[:n], images=images,
-                              gen_cfg=gen_cfg)
+    if getattr(config, "scheduled_eval", False):
+        from lhrs_bot_tpu.eval.scheduled import scheduler_generate
+
+        def item_stream():
+            for i in indices:
+                it = dataset[i]
+                trues.append(it["label"])
+                yield {"input_ids": np.asarray(prompt_ids, np.int32),
+                       "image": it["image"]}
+
+        outs = scheduler_generate(
+            cfg, engine, item_stream(), len(indices), gen_cfg=gen_cfg,
+            max_batch=bs, logger=logger)
         preds += [tokenizer.decode(ids, skip_special_tokens=True)
-                  for ids in out]
-        trues += [it["label"] for it in items]
-        if (start // bs) % 10 == 0:
-            logger.info("eval %d/%d", start + n, len(indices))
+                  for ids in outs]
+    else:
+        for start in range(0, len(indices), bs):
+            chunk = indices[start:start + bs]
+            items = [dataset[i] for i in chunk]
+            images = np.stack([it["image"] for it in items])
+            n = len(chunk)
+            out = engine.generate(ids_batch[:n], lens[:n], images=images,
+                                  gen_cfg=gen_cfg)
+            preds += [tokenizer.decode(ids, skip_special_tokens=True)
+                      for ids in out]
+            trues += [it["label"] for it in items]
+            if (start // bs) % 10 == 0:
+                logger.info("eval %d/%d", start + n, len(indices))
 
     pred_idx = classname_to_idx(preds, class_to_idx)
     acc = balanced_accuracy(trues, pred_idx)

@@ -44,16 +44,31 @@ def main():
     bs = int(config.batch_size)
     indices = list(range(config.rank, len(dataset), config.world_size))
     preds, targets = [], []
-    for start in range(0, len(indices), bs):
-        items = [dataset[i] for i in indices[start:start + bs]]
-        batch = collator(items)
-        out = engine.generate(batch["input_ids"], batch["seq_lens"],
-                              images=batch["images"], gen_cfg=gen_cfg)
+    if getattr(config, "scheduled_eval", False):
+        from lhrs_bot_tpu.eval.scheduled import scheduler_generate
+
+        def item_stream():
+            for i in indices:
+                it = dataset[i]
+                targets.append(it["target"])
+                yield it
+
+        outs = scheduler_generate(
+            cfg, engine, item_stream(), len(indices), gen_cfg=gen_cfg,
+            max_batch=bs, logger=logger)
         preds += [tokenizer.decode(ids, skip_special_tokens=True)
-                  for ids in out]
-        targets += [it["target"] for it in items]
-        if (start // bs) % 10 == 0:
-            logger.info("eval %d/%d", start + len(items), len(indices))
+                  for ids in outs]
+    else:
+        for start in range(0, len(indices), bs):
+            items = [dataset[i] for i in indices[start:start + bs]]
+            batch = collator(items)
+            out = engine.generate(batch["input_ids"], batch["seq_lens"],
+                                  images=batch["images"], gen_cfg=gen_cfg)
+            preds += [tokenizer.decode(ids, skip_special_tokens=True)
+                      for ids in out]
+            targets += [it["target"] for it in items]
+            if (start // bs) % 10 == 0:
+                logger.info("eval %d/%d", start + len(items), len(indices))
 
     # merge per-rank shards before scoring (main_vqa-style protocol)
     from lhrs_bot_tpu.parallel.distribute import all_gather_object

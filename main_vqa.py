@@ -75,20 +75,45 @@ def main():
     bs = int(config.batch_size)
     indices = list(range(config.rank, len(dataset), config.world_size))
     records = []
-    for start in range(0, len(indices), bs):
-        items = [dataset[i] for i in indices[start:start + bs]]
-        batch = collator(items)
-        out = engine.generate(batch["input_ids"], batch["seq_lens"],
-                              images=batch["images"], gen_cfg=gen_cfg)
-        for item, ids in zip(items, out):
+    if getattr(config, "scheduled_eval", False):
+        # continuous batching: slots free at EOS, ragged answer lengths
+        # stop costing worst-case decode (eval/scheduled.py)
+        from lhrs_bot_tpu.eval.scheduled import scheduler_generate
+
+        metas = []  # small metadata only; images stream lazily
+
+        def item_stream():
+            for i in indices:
+                it = dataset[i]
+                metas.append({k: it[k]
+                              for k in ("target", "qtype", "question_id")})
+                yield it
+
+        outs = scheduler_generate(
+            cfg, engine, item_stream(), len(indices), gen_cfg=gen_cfg,
+            max_batch=bs, logger=logger)
+        for item, ids in zip(metas, outs):
             records.append({
                 "pred": tokenizer.decode(ids, skip_special_tokens=True),
                 "target": item["target"],
                 "types": item["qtype"],
                 "question_id": int(item["question_id"]),
             })
-        if (start // bs) % 10 == 0:
-            logger.info("eval %d/%d", start + len(items), len(indices))
+    else:
+        for start in range(0, len(indices), bs):
+            items = [dataset[i] for i in indices[start:start + bs]]
+            batch = collator(items)
+            out = engine.generate(batch["input_ids"], batch["seq_lens"],
+                                  images=batch["images"], gen_cfg=gen_cfg)
+            for item, ids in zip(items, out):
+                records.append({
+                    "pred": tokenizer.decode(ids, skip_special_tokens=True),
+                    "target": item["target"],
+                    "types": item["qtype"],
+                    "question_id": int(item["question_id"]),
+                })
+            if (start // bs) % 10 == 0:
+                logger.info("eval %d/%d", start + len(items), len(indices))
 
     merged = save_result(records, config.output, config.rank,
                          config.world_size)

@@ -510,6 +510,46 @@ class TestMeshEngine:
         assert out_single == out_sharded
 
 
+class TestScheduledEval:
+    def test_matches_engine_batch_path(self):
+        """eval/scheduled.scheduler_generate must emit token-identical
+        outputs to the engine.generate batch loop over ragged multimodal
+        items, and must drop item images once admitted."""
+        from lhrs_bot_tpu.eval.scheduled import scheduler_generate
+
+        cfg = VLMConfig.tiny_test(stage=0)
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        engine = GenerationEngine(cfg, params, max_seq_len=96,
+                                  compute_dtype=jnp.float32,
+                                  cache_dtype=jnp.float32,
+                                  prompt_bucket=16)
+        rng = np.random.default_rng(61)
+        items = []
+        for i in range(7):
+            n = int(rng.integers(5, 24))
+            ids = rng.integers(3, 200, size=(n,)).astype(np.int32)
+            img = None
+            if i % 2 == 0:
+                ids[0] = IMAGE_TOKEN_INDEX
+                img = rng.integers(0, 255,
+                                   size=(28, 28, 3)).astype(np.uint8)
+            items.append({"input_ids": ids, "image": img})
+        gen_cfg = GenerationConfig(max_new_tokens=6,
+                                   eos_token_id=cfg.llama.eos_token_id)
+
+        outs = scheduler_generate(cfg, engine, iter(items), len(items),
+                                  gen_cfg=gen_cfg, max_batch=3,
+                                  tokens_per_tick=2)
+        for item, got in zip(items, outs):
+            img = item["image"]
+            ref = engine.generate(
+                item["input_ids"][None],
+                np.asarray([len(item["input_ids"])]),
+                images=None if img is None else img[None],
+                gen_cfg=gen_cfg)[0]
+            assert got == ref, (got, ref)
+
+
 class TestEvalProtocols:
     @pytest.fixture(scope="class")
     def setup(self):
