@@ -79,10 +79,25 @@ def _build_vlp_loader(config, tokenizer, rank, world_size) -> DataLoader:
                 prompt_type=prompt_type)
             sampler = None
 
+    collate_fn = SupervisedCollator(tokenizer)
+    if getattr(config, "pack_sequences", False):
+        # sequence packing: batch_size samples per step fill fewer,
+        # denser rows (models/llama.py segment attention); biggest win
+        # for the ragged stage-2/3 instruction data
+        from .collate import PackingCollator
+
+        factor = max(1, int(getattr(config, "pack_factor", 2)))
+        collate_fn = PackingCollator(
+            tokenizer,
+            target_len=int(getattr(config, "pack_target_len", 0))
+            or int(tokenizer.model_max_length),
+            rows_per_batch=max(1, int(config.batch_size) // factor),
+            max_images_per_row=int(
+                getattr(config, "pack_max_images", 4)))
     return DataLoader(
         dataset,
         batch_size=int(config.batch_size),
-        collate_fn=SupervisedCollator(tokenizer),
+        collate_fn=collate_fn,
         sampler=sampler,
         num_workers=int(getattr(config, "workers", 4)),
         rank=rank, world_size=world_size,

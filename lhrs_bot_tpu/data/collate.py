@@ -101,6 +101,96 @@ class SupervisedCollator:
         return batch
 
 
+class PackingCollator:
+    """Sequence-packing batches: multiple samples share a row with
+    segment ids (block-diagonal attention + per-segment RoPE in
+    models/llama.py). Instruction tuning pads heavily — samples span
+    ~40-2000 tokens — so packing recovers the padded-token compute the
+    reference wastes (its GPUs pad identically; this is a TPU-budget
+    optimization, not a parity item).
+
+    STATIC SHAPES: every batch is exactly (rows_per_batch, target_len)
+    with an optional (rows_per_batch, max_images_per_row, H, W, 3) image
+    stack — one compiled train step regardless of packing density. The
+    collator is stateful (safe: the loader collates in one producer
+    thread): rows that do not fill a batch carry over to the next call,
+    and each sample's first-token label is forced to IGNORE so the
+    shifted loss never predicts across a segment boundary. Rows left
+    open when an epoch ends roll into the next epoch (iteration-based
+    training semantics)."""
+
+    def __init__(self, tokenizer, target_len: int = 512,
+                 rows_per_batch: int = 4, max_images_per_row: int = 4):
+        self.tokenizer = tokenizer
+        self.target_len = target_len
+        self.rows_per_batch = rows_per_batch
+        self.max_images_per_row = max_images_per_row
+        self._open: list = []  # carryover rows between calls
+
+    def _fit(self, inst: Dict) -> None:
+        ids = np.asarray(inst["input_ids"], np.int64)
+        labels = np.asarray(inst["labels"], np.int64).copy()
+        n = len(ids)
+        if n > self.target_len:  # oversize sample: own truncated row
+            ids, labels = ids[:self.target_len], labels[:self.target_len]
+            n = self.target_len
+        labels[0] = IGNORE_INDEX  # boundary guard for the shifted loss
+        img = inst.get("image")
+        home = None
+        for row in self._open:
+            if len(row["ids"]) + n > self.target_len:
+                continue
+            if img is not None and (len(row["images"])
+                                    >= self.max_images_per_row):
+                continue
+            home = row
+            break
+        if home is None:
+            home = {"ids": [], "labels": [], "segs": [], "images": []}
+            self._open.append(home)
+        seg = (home["segs"][-1] if home["segs"] else 0) + 1
+        home["ids"].extend(ids.tolist())
+        home["labels"].extend(labels.tolist())
+        home["segs"].extend([seg] * n)
+        if img is not None:
+            home["images"].append(np.asarray(img))
+
+    def __call__(self, instances: Sequence[Dict]) -> Dict[str, np.ndarray]:
+        for inst in instances:
+            self._fit(inst)
+        emit, self._open = (self._open[:self.rows_per_batch],
+                            self._open[self.rows_per_batch:])
+        b, width = self.rows_per_batch, self.target_len
+        pad_id = self.tokenizer.pad_token_id
+        ids = np.full((b, width), pad_id, np.int32)
+        labels = np.full((b, width), IGNORE_INDEX, np.int32)
+        segs = np.zeros((b, width), np.int32)
+        any_image = any(r["images"] for r in emit)
+        imgs = None
+        for row_i, row in enumerate(emit):
+            n = len(row["ids"])
+            ids[row_i, :n] = row["ids"]
+            labels[row_i, :n] = row["labels"]
+            segs[row_i, :n] = row["segs"]
+            if any_image and imgs is None and row["images"]:
+                h = row["images"][0].shape[0]
+                imgs = np.zeros(
+                    (b, self.max_images_per_row) + row["images"][0].shape,
+                    np.uint8)
+            if row["images"]:
+                for k, im in enumerate(row["images"]):
+                    imgs[row_i, k] = im
+        batch = {
+            "input_ids": ids,
+            "labels": labels,
+            "attention_mask": segs != 0,
+            "segment_ids": segs,
+        }
+        if imgs is not None:
+            batch["images"] = imgs
+        return batch
+
+
 class GenerationCollator:
     """Eval/generation batches: padded ids + per-row lengths (+ pass-through
     metadata fields such as targets/types/question ids)."""

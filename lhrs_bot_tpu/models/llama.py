@@ -233,17 +233,27 @@ def _qkv(x, lp, cfg: LlamaConfig, cos, sin):
 
 
 def _block_full(x, lp, cfg: LlamaConfig, cos, sin, kv_mask,
-                cp_axis_name=None):
+                cp_axis_name=None, segment_ids=None):
     """Full-sequence causal block (training / cacheless forward).
 
     With `cp_axis_name` the block runs under shard_map with the sequence
     sharded on that mesh axis: attention goes through the K/V ring
     (ops/ring_attention.py) and `cos`/`sin`/`kv_mask` carry this shard's
-    GLOBAL positions/mask rows (parallel/context.py builds them)."""
+    GLOBAL positions/mask rows (parallel/context.py builds them).
+
+    With `segment_ids` (B, S) int32 — sequence PACKING — attention is
+    block-diagonal: position i attends j iff seg[i] == seg[j] != 0 and
+    j <= i (padding is segment 0)."""
     b, s, d = x.shape
     h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
     q, k, v = _qkv(h, lp, cfg, cos, sin)
-    if cp_axis_name is not None:
+    if segment_ids is not None:
+        same = (segment_ids[:, :, None] == segment_ids[:, None, :]) & \
+            (segment_ids != 0)[:, :, None]
+        from ..ops.attention import mha_reference
+
+        attn = mha_reference(q, k, v, causal=True, pairwise_mask=same)
+    elif cp_axis_name is not None:
         attn = ring_attention(q, k, v, kv_mask, axis_name=cp_axis_name,
                               causal=True)
     else:
@@ -266,6 +276,7 @@ def llama_apply(
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
     cp_axis_name: Optional[str] = None,
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, S) int32, 0 = pad
 ) -> jnp.ndarray:
     """Cacheless forward → logits (B, S, V) float32.
 
@@ -273,12 +284,25 @@ def llama_apply(
     shard_map with the sequence dim sharded on that axis and MUST pass
     global `positions` (the local default arange would restart RoPE at
     every shard boundary); see parallel/context.py.
+
+    `segment_ids`: SEQUENCE PACKING — multiple samples share a row with
+    block-diagonal attention; RoPE positions restart at every segment
+    start. Mutually exclusive with cp_axis_name.
     """
     if inputs_embeds is None:
         inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
     x = inputs_embeds.astype(compute_dtype)
     b, s, _ = x.shape
 
+    if segment_ids is not None and positions is None:
+        # per-segment positions: index minus the index of the segment's
+        # first token (running max over segment-change boundaries)
+        idx = jnp.arange(s)[None, :]
+        boundary = jnp.concatenate(
+            [jnp.ones((b, 1), bool),
+             segment_ids[:, 1:] != segment_ids[:, :-1]], axis=1)
+        start = jax.lax.cummax(jnp.where(boundary, idx, 0), axis=1)
+        positions = idx - start
     if positions is None:
         if attention_mask is not None:
             positions = jnp.maximum(
@@ -294,7 +318,7 @@ def llama_apply(
         if remat:
             fn = jax.checkpoint(_block_full, static_argnums=(2, 6))
         return fn(carry, lp, cfg, cos, sin, attention_mask,
-                  cp_axis_name), None
+                  cp_axis_name, segment_ids), None
 
     x, _ = jax.lax.scan(body, x, layers)
     x = rms_norm(x, params["final_norm"].astype(compute_dtype),

@@ -35,6 +35,7 @@ class SplicedBatch(NamedTuple):
     attention_mask: jnp.ndarray  # (B, T_out) bool
     labels: Optional[jnp.ndarray]  # (B, T_out) int32 or None
     seq_len: jnp.ndarray  # (B,) int32 — valid length per row
+    segment_ids: Optional[jnp.ndarray] = None  # (B, T_out) int32, packing
 
 
 def splice_image_embeddings(
@@ -106,6 +107,7 @@ def splice_image_embeddings_multi(
     embed_tokens: jnp.ndarray,  # (V, D)
     attention_mask: Optional[jnp.ndarray] = None,  # (B, T) bool
     labels: Optional[jnp.ndarray] = None,  # (B, T) int32
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, T) int32, packing
 ) -> SplicedBatch:
     """K-image generalization of the splice (the reference's per-sample
     loop handles arbitrary image counts, text_modal.py:296-526; published
@@ -166,5 +168,18 @@ def splice_image_embeddings_multi(
             inside | ~text_valid, IGNORE_INDEX,
             jnp.where(gathered_attn, gathered_labels, IGNORE_INDEX))
 
+    seg_out = None
+    if segment_ids is not None:
+        # text positions keep their segment; an image span inherits the
+        # segment of its marker; everything else (padding) is segment 0
+        seg_text = jnp.take_along_axis(segment_ids, text_idx_safe, axis=1)
+        marker_seg = jnp.take_along_axis(
+            segment_ids, jnp.clip(img_pos, 0, t - 1), axis=1)   # (B, K)
+        seg_img = jnp.take_along_axis(marker_seg, which, axis=1)
+        seg_out = jnp.where(
+            inside, seg_img,
+            jnp.where(text_valid & gathered_attn, seg_text, 0)
+        ).astype(jnp.int32)
+
     return SplicedBatch(embeds, attn_out, labels_out,
-                        seq_len.astype(jnp.int32))
+                        seq_len.astype(jnp.int32), seg_out)

@@ -159,6 +159,7 @@ def prepare_multimodal_inputs(
     llama_params=None,
     vision_packed=None,
     interpret: bool = False,  # fused-tower kernels in interpret mode (CPU)
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, T) packing
 ) -> SplicedBatch:
     if llama_params is None:
         llama_params = params["llama"]
@@ -172,10 +173,11 @@ def prepare_multimodal_inputs(
         return SplicedBatch(
             embeds, attention_mask, labels,
             jnp.sum(attention_mask.astype(jnp.int32), axis=1),
+            segment_ids,
         )
     if images.ndim == 5:
-        # (B, K, H, W, 3): multi-image chat — encode all slots in one
-        # tower batch, splice marker k with slot k
+        # (B, K, H, W, 3): multi-image chat / packed rows — encode all
+        # slots in one tower batch, splice marker k with slot k
         b, k = images.shape[:2]
         image_embeds = encode_image(
             params, images.reshape((b * k,) + images.shape[2:]), cfg,
@@ -184,7 +186,11 @@ def prepare_multimodal_inputs(
         image_embeds = image_embeds.reshape(
             b, k, *image_embeds.shape[1:])
         return splice_image_embeddings_multi(
-            input_ids, image_embeds, embed_tokens, attention_mask, labels)
+            input_ids, image_embeds, embed_tokens, attention_mask, labels,
+            segment_ids=segment_ids)
+    if segment_ids is not None:
+        raise ValueError("sequence packing requires (B, K, H, W, 3) "
+                         "images (PackingCollator) or text-only batches")
     image_embeds = encode_image(params, images, cfg, compute_dtype, remat,
                                 vision_packed=vision_packed,
                                 interpret=interpret)
@@ -215,8 +221,13 @@ def vlm_forward_loss(
         compute_dtype=compute_dtype,
         remat=remat,
         llama_params=llama_params,
+        segment_ids=batch.get("segment_ids"),
     )
     if cp_mesh is not None:
+        if spliced.segment_ids is not None:
+            raise ValueError("sequence packing + context parallelism are "
+                             "not composable yet (ring attention has no "
+                             "segment masking)")
         from ..parallel.context import context_parallel_apply
 
         cp = cp_mesh.shape[seq_axis]
@@ -241,6 +252,7 @@ def vlm_forward_loss(
         attention_mask=spliced.attention_mask,
         compute_dtype=compute_dtype,
         remat=remat,
+        segment_ids=spliced.segment_ids,
     )
     text_loss = causal_lm_loss(logits, spliced.labels)
     return {"text_loss": text_loss, "total_loss": text_loss}

@@ -46,10 +46,14 @@ def mha_reference(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     score_dtype=jnp.float32,
+    pairwise_mask: Optional[jnp.ndarray] = None,  # (B, Sq, Skv) bool
 ) -> jnp.ndarray:
     """score_dtype=bf16 halves the score-matrix HBM traffic (the dominant
     cost at ViT lengths: 727 vs 676 img/s end-to-end on v5e) and matches the
-    reference's fp16-autocast SDPA numerics; softmax is always f32."""
+    reference's fp16-autocast SDPA numerics; softmax is always f32.
+
+    `pairwise_mask` (True = attend) composes with causal/kv_mask — the
+    sequence-packing path uses it for block-diagonal segment masking."""
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     scores = jnp.einsum(
@@ -57,6 +61,8 @@ def mha_reference(
     ).astype(jnp.float32) * sm_scale
     if kv_mask is not None:
         scores = jnp.where(kv_mask[:, None, None, :], scores, _NEG_INF)
+    if pairwise_mask is not None:
+        scores = jnp.where(pairwise_mask[:, None], scores, _NEG_INF)
     if causal:
         sq, skv = q.shape[2], k.shape[2]
         q_ids = jnp.arange(sq)[:, None]
