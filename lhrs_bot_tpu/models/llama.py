@@ -248,11 +248,10 @@ def _block_full(x, lp, cfg: LlamaConfig, cos, sin, kv_mask,
     h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
     q, k, v = _qkv(h, lp, cfg, cos, sin)
     if segment_ids is not None:
-        same = (segment_ids[:, :, None] == segment_ids[:, None, :]) & \
-            (segment_ids != 0)[:, :, None]
-        from ..ops.attention import mha_reference
-
-        attn = mha_reference(q, k, v, causal=True, pairwise_mask=same)
+        # flash kernel with in-kernel segment masking on TPU; XLA
+        # pairwise-mask reference elsewhere
+        attn = flash_attention(q, k, v, causal=True,
+                               segment_ids=segment_ids)
     elif cp_axis_name is not None:
         attn = ring_attention(q, k, v, kv_mask, axis_name=cp_axis_name,
                               causal=True)

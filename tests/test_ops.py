@@ -198,6 +198,68 @@ class TestFlashBackward:
         np.testing.assert_allclose(dk, dk_ref, rtol=2e-2, atol=2e-3)
         np.testing.assert_allclose(dv, dv_ref, rtol=2e-2, atol=2e-3)
 
+    def test_segment_masking_fwd_bwd(self):
+        """Sequence-packing segment masking inside the kernel: forward and
+        gradients must match the XLA pairwise-mask reference (two packed
+        segments + padding)."""
+        key = jax.random.PRNGKey(3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        sq = 48
+        q = _rand(k1, (2, 2, sq, 64))
+        k = _rand(k2, (2, 2, sq, 64))
+        v = _rand(k3, (2, 2, sq, 64))
+        g = _rand(k4, (2, 2, sq, 64))
+        seg = np.zeros((2, sq), np.int32)
+        seg[0, :20], seg[0, 20:41] = 1, 2     # 2 segments + 7 pad
+        seg[1, :33] = 1                       # 1 segment + pad
+        # upstream grads at padding rows are zero in real training (their
+        # logits hit IGNORE labels); the XLA reference's padded rows have
+        # UNIFORM probs (softmax over all-masked scores) and would leak
+        # garbage into dv otherwise — the kernel correctly contributes 0
+        g = g * jnp.asarray(seg != 0)[:, None, :, None]
+        seg = jnp.asarray(seg)
+        same = (seg[:, :, None] == seg[:, None, :]) & \
+            (seg != 0)[:, :, None]
+
+        def ref_fn(q_, k_, v_):
+            return attention.mha_reference(q_, k_, v_, causal=True,
+                                           pairwise_mask=same)
+
+        ref, vjp = jax.vjp(ref_fn, q, k, v)
+        dq_ref, dk_ref, dv_ref = vjp(g)
+
+        out, lse = attention._flash_attention_pallas(
+            q, k, v, None, True, 64 ** -0.5, interpret=True,
+            block_q=128, block_k=128, return_lse=True,
+            segment_ids=seg)
+        # padded rows (segment 0) are unspecified in both; compare valid
+        valid = np.asarray(seg) != 0
+        np.testing.assert_allclose(np.asarray(out)[:, :, :, :][
+            np.broadcast_to(valid[:, None, :, None], out.shape)],
+            np.asarray(ref)[
+            np.broadcast_to(valid[:, None, :, None], ref.shape)],
+            rtol=2e-2, atol=2e-3)
+        dq, dk, dv = attention._flash_attention_bwd_pallas(
+            q, k, v, None, out, lse, g, True, 64 ** -0.5,
+            interpret=True, block_q=128, block_k=128, segment_ids=seg)
+        vmask = np.broadcast_to(valid[:, None, :, None], dq.shape)
+        np.testing.assert_allclose(np.asarray(dq)[vmask],
+                                   np.asarray(dq_ref)[vmask],
+                                   rtol=2e-2, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(dk)[vmask],
+                                   np.asarray(dk_ref)[vmask],
+                                   rtol=2e-2, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(dv)[vmask],
+                                   np.asarray(dv_ref)[vmask],
+                                   rtol=2e-2, atol=2e-3)
+        # cross-segment grads must be exactly zero: k rows of segment 2
+        # get no contribution from q rows of segment 1 — spot-check via
+        # padding rows (segment 0) which see NO valid queries
+        pad = ~valid
+        pmask = np.broadcast_to(pad[:, None, :, None], dk.shape)
+        np.testing.assert_allclose(np.asarray(dk)[pmask], 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dv)[pmask], 0.0, atol=1e-6)
+
     def test_grads_with_kv_mask(self, monkeypatch):
         key = jax.random.PRNGKey(1)
         k1, k2, k3, k4 = jax.random.split(key, 4)
