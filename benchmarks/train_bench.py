@@ -82,7 +82,7 @@ def build_params(cfg: VLMConfig):
     return jax.block_until_ready(params)
 
 
-def bench_stage(stage: int):
+def bench_stage(stage: int, packed: bool = False):
     if stage == 2:
         cfg = VLMConfig(stage=2, lora=LoraConfig(r=128, alpha=256))
         B, T = 4, 512
@@ -118,6 +118,27 @@ def bench_stage(stage: int):
         "images": jnp.asarray(rng.integers(0, 255, (B, 224, 224, 3),
                                            dtype=np.uint8)),
     }
+    n_samples = B
+    if packed:
+        # sequence packing: 2 samples of T/2 per row — same token count
+        # per step but 2x samples; measures the packed-attention path
+        # (segment-masked flash kernel) at stage shapes
+        seg = np.concatenate([np.full((B, T // 2), 1, np.int32),
+                              np.full((B, T - T // 2), 2, np.int32)],
+                             axis=1)
+        ids2 = ids.copy()
+        ids2[:, T // 2 + 1] = IMAGE_TOKEN_INDEX  # 2nd sample's marker
+        labels = ids2.copy()
+        labels[:, 0] = labels[:, T // 2] = -100
+        batch = {
+            "input_ids": jnp.asarray(ids2),
+            "labels": jnp.asarray(labels),
+            "attention_mask": jnp.ones((B, T), bool),
+            "segment_ids": jnp.asarray(seg),
+            "images": jnp.asarray(rng.integers(
+                0, 255, (B, 2, 224, 224, 3), dtype=np.uint8)),
+        }
+        n_samples = 2 * B
 
     step = jax.jit(make_train_step(cfg, tx, compute_dtype=jnp.bfloat16,
                                    remat=True, trainable=mask),
@@ -156,8 +177,11 @@ def bench_stage(stage: int):
     dt = (time.perf_counter() - t0) / iters
 
     nq = cfg.pooler.num_query
-    tok = B * (T + nq - 1)
-    out.update({"step_ms": round(dt * 1000), "samples_s": round(B / dt, 2),
+    n_img = 2 if packed else 1
+    tok = B * (T + n_img * (nq - 1))
+    out["packed"] = packed
+    out.update({"step_ms": round(dt * 1000),
+                "samples_s": round(n_samples / dt, 2),
                 "tok_s": round(tok / dt), "loss": round(loss, 3)})
     print(json.dumps(out), flush=True)
     return out
@@ -166,10 +190,13 @@ def bench_stage(stage: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="both", choices=("1", "2", "both"))
+    ap.add_argument("--packed", action="store_true",
+                    help="sequence-packed batch (2 samples/row, segment-"
+                         "masked flash attention)")
     args = ap.parse_args()
     stages = [1, 2] if args.stage == "both" else [int(args.stage)]
     for s in stages:
-        bench_stage(s)
+        bench_stage(s, packed=args.packed)
 
 
 if __name__ == "__main__":
