@@ -50,9 +50,21 @@ def _build_vlp_loader(config, tokenizer, rank, world_size) -> DataLoader:
             rank=rank, world_size=world_size,
             seed=int(getattr(config, "seed", 0)),
         )
+        collate_fn = SupervisedCollator(tokenizer)
+        if getattr(config, "pack_sequences", False):
+            from .collate import PackingCollator
+
+            factor = max(1, int(getattr(config, "pack_factor", 2)))
+            collate_fn = PackingCollator(
+                tokenizer,
+                target_len=int(getattr(config, "pack_target_len", 0))
+                or int(tokenizer.model_max_length),
+                rows_per_batch=max(1, int(config.batch_size) // factor),
+                max_images_per_row=int(
+                    getattr(config, "pack_max_images", 4)))
         return _IterableLoader(
             dataset, batch_size=int(config.batch_size),
-            collate_fn=SupervisedCollator(tokenizer))
+            collate_fn=collate_fn)
 
     if stage <= 1:
         dataset = CaptionDatasetVQA(
