@@ -41,6 +41,12 @@ def main():
             p.add_argument("--image", type=str, default=None),
             p.add_argument("--temperature", type=float, default=0.4),
             p.add_argument("--max-new-tokens", type=int, default=512),
+            p.add_argument("--speculative", type=int, default=0,
+                           help="prompt-lookup speculation window (greedy "
+                                "decoding only, i.e. --temperature 0): "
+                                "token-identical output, fewer decode "
+                                "dispatches when the answer repeats "
+                                "prompt/history n-grams"),
         ))
     logger = setup(config)
 
@@ -100,7 +106,8 @@ def main():
         prev_text = ""
         for tok in engine.stream(
                 np.asarray([ids], np.int32), len(ids), images=image_np,
-                gen_cfg=gen_cfg, session=True):
+                gen_cfg=gen_cfg, session=True,
+                speculative=int(config.speculative)):
             emitted.append(tok)
             text = tokenizer.decode(emitted, skip_special_tokens=True)
             sys.stdout.write(text[len(prev_text):])

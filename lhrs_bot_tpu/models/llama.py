@@ -423,6 +423,7 @@ def llama_prefill_continue(
     suffix_len: jnp.ndarray,     # (B,) int32 valid suffix tokens
     start: jnp.ndarray,          # (B,) int32 tokens already in the cache
     compute_dtype=jnp.bfloat16,
+    return_all_logits: bool = False,  # (B, W, V) instead of last-position
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Incremental prefill: extend an already-filled cache by a suffix.
 
@@ -503,11 +504,16 @@ def llama_prefill_continue(
     (x, kc, vc, ks, vs, _), _ = jax.lax.scan(body, init, layers)
     x = rms_norm(x, params["final_norm"].astype(compute_dtype),
                  cfg.rms_norm_eps)
-    last = jnp.maximum(suffix_len - 1, 0)
-    x_last = jnp.take_along_axis(
-        x, last[:, None, None].astype(jnp.int32), axis=1).squeeze(1)
-    logits = jnp.dot(x_last, params["lm_head"].astype(compute_dtype),
-                     preferred_element_type=jnp.float32)
+    if return_all_logits:
+        # speculative verify: logits at EVERY suffix position (W small)
+        logits = jnp.dot(x, params["lm_head"].astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        last = jnp.maximum(suffix_len - 1, 0)
+        x_last = jnp.take_along_axis(
+            x, last[:, None, None].astype(jnp.int32), axis=1).squeeze(1)
+        logits = jnp.dot(x_last, params["lm_head"].astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
     return logits, KVCache(kc, vc, (start + suffix_len).astype(jnp.int32),
                            ks, vs)
 

@@ -251,6 +251,7 @@ class GenerationEngine:
         self._splice_jit = jax.jit(self._splice)
         self._continue_embeds_jit = jax.jit(self._continue_embeds,
                                             donate_argnums=(1,))
+        self._speculate_jit = jax.jit(self._speculate, donate_argnums=(1,))
 
     # -- jitted pieces ------------------------------------------------------
 
@@ -337,6 +338,38 @@ class GenerationEngine:
             [per_chunk_logits[int(last_chunk[r])][r]
              for r in range(batch)])
         return logits, cache
+
+    def _speculate(self, llama_params, cache, window_ids, valid, start):
+        """Verify a speculative window: run `valid` proposed tokens (padded
+        to the static window width) through the continuation prefill and
+        return logits at EVERY window position."""
+        from ..models.llama import llama_prefill_continue
+
+        embeds = jnp.take(llama_params["embed_tokens"],
+                          jnp.maximum(window_ids, 0), axis=0)
+        return llama_prefill_continue(
+            llama_params, self.cfg.llama, cache,
+            inputs_embeds=embeds, suffix_len=valid, start=start,
+            compute_dtype=self.compute_dtype, return_all_logits=True)
+
+    @staticmethod
+    def _propose(history, ngram: int, max_len: int):
+        """Prompt-lookup proposal: find the most recent earlier occurrence
+        of the last `ngram` tokens in `history` and return the tokens that
+        followed it (pure host work)."""
+        if len(history) < ngram + 1 or max_len <= 0:
+            return []
+        arr = np.asarray(history, np.int64)
+        pat = arr[-ngram:]
+        # scan candidate positions from most recent to oldest
+        windows = np.lib.stride_tricks.sliding_window_view(
+            arr[:-1], ngram)
+        hits = np.flatnonzero((windows == pat).all(axis=1))
+        for pos in hits[::-1]:
+            follow = arr[pos + ngram:pos + ngram + max_len]
+            if len(follow) and (follow >= 3).all():
+                return [int(t) for t in follow]
+        return []
 
     def _decode_step(self, llama_params, cache, tokens):
         embeds = jnp.take(llama_params["embed_tokens"], tokens[:, None],
@@ -556,6 +589,8 @@ class GenerationEngine:
         rng: Optional[jax.Array] = None,
         stop_fn: Optional[Callable[[List[int]], bool]] = None,
         session: bool = False,
+        speculative: int = 0,  # prompt-lookup window (greedy only)
+        ngram: int = 2,
     ) -> Iterator[int]:
         """Single-sequence streaming: yields one token id per step
         (TextStreamer/TextIteratorStreamer parity for the CLI/web UI).
@@ -629,8 +664,74 @@ class GenerationEngine:
                     cache_len=cache_len)
 
         emitted: List[int] = []
-        appended = 0
+        appended = 0  # emitted tokens whose KV is in the cache
+        # prompt-lookup speculation (greedy only): propose the tokens that
+        # followed the last `ngram` in the prompt/output so far, verify the
+        # whole window in ONE dispatch, keep the agreeing prefix — output
+        # is token-identical to plain greedy, but each accepted token
+        # saves a full decode dispatch + weight read
+        spec = int(speculative) if not gen_cfg.do_sample else 0
+        history = [int(t) for t in raw] if spec else None
+        length = int(cache.length[0]) if spec else 0
+        cache_room = cache.k.shape[3]
         try:
+            if spec:
+                tok = int(jnp.argmax(logits[0]))
+                while True:
+                    if tok == gen_cfg.eos_token_id:
+                        return
+                    emitted.append(tok)
+                    history.append(tok)
+                    yield tok
+                    if stop_fn is not None and stop_fn(emitted):
+                        return
+                    if len(emitted) >= gen_cfg.max_new_tokens:
+                        return
+                    prop = self._propose(
+                        history, ngram,
+                        min(spec, gen_cfg.max_new_tokens - len(emitted) - 1,
+                            cache_room - length - 1 - 1))
+                    if prop and length + 1 + spec <= cache_room:
+                        ids_w = np.zeros((1, spec + 1), np.int32)
+                        ids_w[0, 0] = tok
+                        ids_w[0, 1:1 + len(prop)] = prop
+                        w = 1 + len(prop)
+                        logits_all, cache = self._speculate_jit(
+                            self.llama_params, cache, jnp.asarray(ids_w),
+                            jnp.asarray([w], np.int32),
+                            jnp.asarray([length], np.int32))
+                        preds = np.asarray(
+                            jnp.argmax(logits_all[0, :w], axis=-1))
+                        p = 0
+                        while p < len(prop) and prop[p] == int(preds[p]):
+                            p += 1
+                        length += 1 + p
+                        appended += 1 + p
+                        cache = cache._replace(length=jnp.asarray(
+                            [length], jnp.int32))
+                        hit_eos = False
+                        for t in prop[:p]:
+                            if t == gen_cfg.eos_token_id:
+                                hit_eos = True
+                                break
+                            emitted.append(t)
+                            history.append(t)
+                            yield t
+                            if stop_fn is not None and stop_fn(emitted):
+                                return
+                            if len(emitted) >= gen_cfg.max_new_tokens:
+                                return
+                        if hit_eos:
+                            return
+                        tok = int(preds[p])
+                    else:
+                        logits, cache = self._decode_step_jit(
+                            self.llama_params, cache,
+                            jnp.asarray([tok], jnp.int32))
+                        length += 1
+                        appended += 1
+                        tok = int(jnp.argmax(logits[0]))
+                return
             for i in range(gen_cfg.max_new_tokens):
                 rng, step_rng = jax.random.split(rng)
                 tok_arr = _sample_token(logits, step_rng, gen_cfg)

@@ -179,6 +179,43 @@ class TestEngine:
                                jnp.asarray([[nxt]]), axis=0)], axis=1)
         assert out == expect, (out, expect)
 
+    @pytest.mark.parametrize("repetitive", [True, False])
+    def test_speculative_matches_greedy(self, setup, repetitive):
+        """Prompt-lookup speculative decoding must be token-identical to
+        plain greedy — on a repetitive prompt (n-gram hits, windows
+        accepted) and a random one (mostly rejected/fallback)."""
+        cfg, params, engine = setup
+        rng = np.random.default_rng(71)
+        if repetitive:
+            phrase = rng.integers(3, 200, size=(6,)).astype(np.int32)
+            ids = np.concatenate([phrase] * 5)[None]
+        else:
+            ids = rng.integers(3, 200, size=(1, 30)).astype(np.int32)
+        t = ids.shape[1]
+        gcfg = GenerationConfig(max_new_tokens=12,
+                                eos_token_id=cfg.llama.eos_token_id)
+        plain = list(engine.stream(ids, t, gen_cfg=gcfg))
+        spec = list(engine.stream(ids, t, gen_cfg=gcfg, speculative=4))
+        assert spec == plain, (spec, plain)
+
+    def test_speculative_respects_budget_and_stop(self, setup):
+        cfg, params, engine = setup
+        rng = np.random.default_rng(73)
+        phrase = rng.integers(3, 200, size=(5,)).astype(np.int32)
+        ids = np.concatenate([phrase] * 6)[None]
+        t = ids.shape[1]
+        gcfg = GenerationConfig(max_new_tokens=5,
+                                eos_token_id=cfg.llama.eos_token_id)
+        out = list(engine.stream(ids, t, gen_cfg=gcfg, speculative=8))
+        ref = list(engine.stream(ids, t, gen_cfg=gcfg))
+        assert out == ref and len(out) <= 5
+
+        stopped = list(engine.stream(
+            ids, t, gen_cfg=GenerationConfig(
+                max_new_tokens=12, eos_token_id=cfg.llama.eos_token_id),
+            speculative=4, stop_fn=lambda e: len(e) >= 3))
+        assert len(stopped) == 3 and stopped == ref[:3]
+
     def test_chunked_prefill_matches_monolithic(self, setup):
         """prefill_chunk=16: the decoder runs over fixed 16-wide embed
         slices via the continuation program — outputs must equal the
