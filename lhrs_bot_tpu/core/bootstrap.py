@@ -131,7 +131,9 @@ def build_model_and_tokenizer(config, *, eval_mode: bool = False):
         from ..ops.quant import quantize_llama_layers
 
         params["llama"]["layers"] = quantize_llama_layers(
-            params["llama"]["layers"], bits=bits)
+            params["llama"]["layers"], bits=bits,
+            quant_type=str(getattr(config, "quant_type", "nf4") or "nf4"),
+            double_quant=bool(getattr(config, "double_quant", True)))
     tokenizer = load_tokenizer(
         config.text.path,
         model_max_length=int(config.text.max_position_embeddings))
@@ -174,6 +176,8 @@ def build_engine(cfg, params, config, mesh=None):
         max_seq_len=int(config.text.max_position_embeddings) + 256,
         cache_dtype=cache_dtype,
         quantize_bits=quantize_bits,
+        quant_type=str(getattr(config, "quant_type", "nf4") or "nf4"),
+        double_quant=bool(getattr(config, "double_quant", True)),
         vision_w8a8=vision_w8a8,
         prefill_chunk=chunk or None,
         mesh=mesh,

@@ -112,8 +112,12 @@ def llama_serving_specs(llama_params) -> Any:
 
     def adapt(spec: P, leaf):
         if isinstance(leaf, QuantizedTensor):
-            # scale is (L, 1, out): only an output-axis sharding can apply
-            # (row-sharded weights get replicated scales)
+            # int8 scale is (L, 1, out); nf4 absmax is (L, in/64, out).
+            # Both shard on the output axis exactly when the weight does;
+            # the nf4 block axis stays replicated — it is NOT always
+            # divisible by the mesh (w_down: 11008/64 = 172 blocks), and
+            # pjit keeps the blockwise dequant correct with a replicated
+            # scale regardless.
             out_axis = spec[2] if len(spec) >= 3 else None
             scale_spec = P(None, None, out_axis)
             return QuantizedTensor(q=spec, scale=scale_spec, bits=leaf.bits)

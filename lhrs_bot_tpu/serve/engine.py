@@ -135,6 +135,8 @@ class GenerationEngine:
         compute_dtype=jnp.bfloat16,
         cache_dtype=jnp.bfloat16,
         quantize_bits: Optional[int] = None,  # 8/4: int weights for decode
+        quant_type: str = "nf4",  # bits=4 codebook (reference BitsAndBytes)
+        double_quant: bool = True,  # bits=4: double-quantize the absmax
         vision_w8a8: bool = False,  # fused W8A8 vision tower (Pallas)
         mesh=None,  # jax.sharding.Mesh → TP-shard the decoder over ICI
         prompt_bucket: int = 64,  # pad prompts up to a bucket width
@@ -193,7 +195,8 @@ class GenerationEngine:
                 self.llama_params = {
                     **self.llama_params,
                     "layers": quantize_llama_layers(
-                        self.llama_params["layers"], bits=quantize_bits),
+                        self.llama_params["layers"], bits=quantize_bits,
+                        quant_type=quant_type, double_quant=double_quant),
                 }
         self._vision_packed = None
         if vision_w8a8:

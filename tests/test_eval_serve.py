@@ -524,7 +524,7 @@ class TestQuantizedEngine:
 
 
 class TestMeshEngine:
-    @pytest.mark.parametrize("bits", [None, 8])
+    @pytest.mark.parametrize("bits", [None, 8, 4])
     def test_tp_sharded_decode_matches_single(self, bits):
         from lhrs_bot_tpu.parallel.mesh import make_mesh
 

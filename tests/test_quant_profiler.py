@@ -100,27 +100,176 @@ class TestInt4:
         emb = jnp.take(params["embed_tokens"], jnp.asarray(ids), axis=0)
         lens = jnp.asarray([10, 8], jnp.int32)
 
-        def roll(layers):
+        def roll(layers, force_tokens=None):
+            """force_tokens: teacher-force this token sequence so the two
+            rolls see identical inputs (self-fed greedy paths diverge
+            chaotically after one quantization-flipped argmax)."""
             p = {**params, "layers": layers}
             cache = KVCache.create(cfg, 2, 24)
             logits, cache = llama_prefill(
                 p, cfg, cache, inputs_embeds=emb, prompt_len=lens,
                 compute_dtype=jnp.float32)
-            logs = [np.asarray(logits)]
-            for _ in range(4):
-                nxt = jnp.argmax(logits, -1)
+            logs, toks = [np.asarray(logits)], []
+            for t in range(4):
+                nxt = (jnp.argmax(logits, -1) if force_tokens is None
+                       else force_tokens[t])
+                toks.append(nxt)
                 e = jnp.take(params["embed_tokens"], nxt[:, None], axis=0)
                 logits, cache = llama_decode_step(
                     p, cfg, cache, inputs_embeds=e,
                     compute_dtype=jnp.float32)
                 logs.append(np.asarray(logits))
-            return np.stack(logs, 1)
+            return np.stack(logs, 1), toks
 
-        ref = roll(params["layers"])
-        q4 = roll(quantize_llama_layers(params["layers"], bits=4))
+        ref, ref_toks = roll(params["layers"])
+        q4, _ = roll(quantize_llama_layers(params["layers"], bits=4),
+                     force_tokens=ref_toks)
         assert np.isfinite(q4).all()
         rel = np.linalg.norm(q4 - ref) / np.linalg.norm(ref)
         assert rel < 0.5, rel
+
+
+class TestNF4:
+    """NF4 (QLoRA NormalFloat4) — the reference's published `bits: 4`
+    recipe (BitsAndBytesConfig quant_type=nf4, double_quant=True at
+    /root/reference/lhrs/models/text_modal.py:96-103)."""
+
+    def test_codebook_values_roundtrip_exact(self):
+        from lhrs_bot_tpu.ops.quant import NF4_CODE, quantize_nf4
+
+        # a weight made of exact codebook multiples round-trips losslessly
+        # (absmax = 2.0 per block since ±1.0 is in the codebook)
+        rng = np.random.default_rng(0)
+        idx = rng.integers(0, 16, size=(128, 8))
+        w = 2.0 * np.asarray(NF4_CODE, np.float32)[idx]
+        w[0, :] = 2.0   # pin absmax so every block has max |w| = 2
+        w[64, :] = -2.0
+        qt = quantize_nf4(jnp.asarray(w), double_quant=False)
+        back = np.asarray(dequantize(qt))
+        np.testing.assert_allclose(back, w, rtol=0, atol=1e-6)
+
+    def test_better_than_linear_int4_on_gaussian(self):
+        from lhrs_bot_tpu.ops.quant import quantize_nf4
+
+        w = jax.random.normal(jax.random.PRNGKey(1), (256, 32))
+        nf = dequantize(quantize_nf4(w, double_quant=False))
+        i4 = dequantize(quantize_int4(w))
+        err_nf = float(jnp.mean((nf - w) ** 2))
+        err_i4 = float(jnp.mean((i4 - w) ** 2))
+        assert err_nf < err_i4, (err_nf, err_i4)
+
+    def test_midpoint_ties_take_lower_code(self):
+        from lhrs_bot_tpu.ops.quant import NF4_CODE, quantize_nf4, unpack_uint4
+
+        code = np.asarray(NF4_CODE, np.float32)
+        mid = (code[1:] + code[:-1]) / 2.0
+        # one block: absmax pinned at 1.0 by the first element; the rest
+        # sit exactly on midpoints → must map to the LOWER code index
+        w = np.full((64, 1), 0.0, np.float32)
+        w[0, 0] = 1.0
+        w[1 : 1 + 15, 0] = mid
+        qt = quantize_nf4(jnp.asarray(w), double_quant=False)
+        idx = np.asarray(unpack_uint4(qt.q))
+        np.testing.assert_array_equal(idx[1:16, 0], np.arange(15))
+
+    def test_double_quant_scale_error_bounded(self):
+        from lhrs_bot_tpu.ops.quant import quantize_nf4
+
+        w = jax.random.normal(jax.random.PRNGKey(2), (512, 16)) * 0.02
+        q_dq = quantize_nf4(w, double_quant=True)
+        q_plain = quantize_nf4(w, double_quant=False)
+        rel = float(jnp.abs(q_dq.scale - q_plain.scale).max()
+                    / jnp.abs(q_plain.scale).max())
+        # int8 quantization of the absmax plane: ~1/127 relative error
+        assert rel < 0.03, rel
+        # and the end-to-end dequant stays close to the non-DQ path
+        d1 = dequantize(q_dq)
+        d0 = dequantize(q_plain)
+        rel2 = float(jnp.linalg.norm(d1 - d0) / jnp.linalg.norm(d0))
+        assert rel2 < 0.03, rel2
+
+    def test_stacked_shapes_and_matmul(self):
+        from lhrs_bot_tpu.ops.quant import quantize_nf4
+
+        w = jax.random.normal(jax.random.PRNGKey(3), (2, 128, 32))
+        qt = quantize_nf4(w, axis=1)
+        assert qt.q.shape == (2, 64, 32)       # nibble-packed along in
+        assert qt.scale.shape == (2, 2, 32)    # in/64 absmax blocks
+        assert qt.bits == "nf4"
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 128), jnp.bfloat16)
+        # per-layer slice like lax.scan does (leading-axis pytree slice)
+        layer0 = QuantizedTensor(qt.q[0], qt.scale[0], bits="nf4")
+        got = quantized_matmul(x[0], layer0, out_dtype=jnp.float32)
+        ref = jnp.dot(x[0].astype(jnp.float32), w[0])
+        rel = float(jnp.abs(got - ref).max() / jnp.abs(ref).max())
+        assert rel < 0.2, rel
+
+    def test_llama_layers_quant_type_dispatch(self):
+        from lhrs_bot_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig.tiny_test()
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        nf4 = quantize_llama_layers(params["layers"], bits=4,
+                                    quant_type="nf4")
+        assert nf4["wq"].bits == "nf4"
+        lin = quantize_llama_layers(params["layers"], bits=4,
+                                    quant_type="linear")
+        assert lin["wq"].bits == 4
+        i8 = quantize_llama_layers(params["layers"], bits=8,
+                                   quant_type="nf4")  # nf4 only at bits=4
+        assert i8["wq"].bits == 8
+
+    def test_serving_specs_accept_nf4(self):
+        from lhrs_bot_tpu.models.llama import LlamaConfig, init_llama_params
+        from lhrs_bot_tpu.parallel.partition import llama_serving_specs
+
+        cfg = LlamaConfig.tiny_test()
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        q = {**params,
+             "layers": quantize_llama_layers(params["layers"], bits=4)}
+        specs = llama_serving_specs(q)
+        wq_spec = specs["layers"]["wq"]
+        assert isinstance(wq_spec, QuantizedTensor)
+        assert wq_spec.bits == "nf4"
+
+    def test_nf4_decode_close_to_f32(self):
+        """bits=4 nf4 end-to-end through prefill + cached decode."""
+        from lhrs_bot_tpu.models.llama import (
+            KVCache, LlamaConfig, init_llama_params, llama_decode_step,
+            llama_prefill)
+
+        cfg = LlamaConfig.tiny_test()
+        params = init_llama_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        ids = np.random.default_rng(1).integers(3, 250, size=(2, 10))
+        emb = jnp.take(params["embed_tokens"], jnp.asarray(ids), axis=0)
+        lens = jnp.asarray([10, 8], jnp.int32)
+
+        def roll(layers, force_tokens=None):
+            p = {**params, "layers": layers}
+            cache = KVCache.create(cfg, 2, 24)
+            logits, cache = llama_prefill(
+                p, cfg, cache, inputs_embeds=emb, prompt_len=lens,
+                compute_dtype=jnp.float32)
+            logs, toks = [np.asarray(logits)], []
+            for t in range(3):
+                nxt = (jnp.argmax(logits, -1) if force_tokens is None
+                       else force_tokens[t])
+                toks.append(nxt)
+                e = jnp.take(params["embed_tokens"], nxt[:, None], axis=0)
+                logits, cache = llama_decode_step(
+                    p, cfg, cache, inputs_embeds=e,
+                    compute_dtype=jnp.float32)
+                logs.append(np.asarray(logits))
+            return np.stack(logs, 1), toks
+
+        ref, ref_toks = roll(params["layers"])
+        nf4, _ = roll(quantize_llama_layers(params["layers"], bits=4,
+                                            quant_type="nf4"),
+                      force_tokens=ref_toks)
+        assert np.isfinite(nf4).all()
+        rel = np.linalg.norm(nf4 - ref) / np.linalg.norm(ref)
+        # teacher-forced: nf4 should beat the linear-int4 bound comfortably
+        assert rel < 0.35, rel
 
 
 class TestModelQuant:
