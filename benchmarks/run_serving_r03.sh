@@ -30,7 +30,8 @@ print(json.dumps(rec))
 EOF
 }
 
-run contiguous_int8 --slots 8 --cache-dtype int8 --new-tokens 96
+run contiguous_int8 --slots 8 --cache-dtype int8 --new-tokens 96 \
+    --speculative 4
 run paged_prefix_int8 --slots 8 --cache-dtype int8 --new-tokens 96 \
     --paged --prefill-chunk 512
 

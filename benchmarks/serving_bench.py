@@ -113,6 +113,13 @@ def main():
     ap.add_argument("--pool-tokens", type=int, default=0)
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--prefill-chunk", type=int, default=0)
+    ap.add_argument("--speculative", type=int, default=0,
+                    help="also measure the on-device speculative tick at "
+                         "this window width (contiguous scheduler only). "
+                         "With random bench weights acceptance is ~zero, "
+                         "so steady_tok_s_spec is the OVERHEAD floor — "
+                         "real acceptance multiplies it by up to "
+                         "(width+1)x per weight read")
     args = ap.parse_args()
 
     from lhrs_bot_tpu.core.bootstrap import enable_compilation_cache
@@ -187,6 +194,23 @@ def main():
             results[f"steady_tok_s_k{k}"] = round(tok_s, 1)
         except Exception as exc:  # noqa: BLE001 — report what succeeded
             results[f"error_k{k}"] = str(exc)[:200]
+
+    if args.speculative and not args.paged:
+        # zero-acceptance floor of the speculative tick (random weights
+        # never agree with prompt-lookup proposals): how much the wider
+        # verify costs per round vs a plain decode step. Break-even
+        # acceptance = plain_tok_s / spec_floor_tok_s - 1 extra tokens.
+        try:
+            sched.set_tokens_per_tick(8)
+            sched.set_speculative(args.speculative)
+            run_schedule(sched, make_reqs())  # compile the spec tick
+            ttft, tok_s = run_schedule(sched, make_reqs())
+            results["steady_tok_s_spec_floor"] = round(tok_s, 1)
+            results["spec_width"] = args.speculative
+        except Exception as exc:  # noqa: BLE001
+            results["error_spec"] = str(exc)[:200]
+        finally:
+            sched.set_speculative(0)
 
     if args.paged:
         # prefix-cache effect: identical prompts twice — the second

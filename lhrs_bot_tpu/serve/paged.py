@@ -95,6 +95,8 @@ class PagedScheduler(ContinuousBatchingScheduler):
     `num_pages` sizes the shared pool — the whole point is
     (num_pages * page_size) << (max_batch * max_seq_len)."""
 
+    _supports_spec = False  # KV rows live behind the page table
+
     def __init__(self, cfg, params, llama_params, *,
                  num_pages: int, page_size: int = 64,
                  pages_per_seq: Optional[int] = None,

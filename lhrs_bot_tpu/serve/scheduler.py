@@ -61,6 +61,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 class ContinuousBatchingScheduler:
+    _supports_spec = True  # paged subclass overrides (rows behind a table)
+
     def __init__(
         self,
         cfg: VLMConfig,
@@ -78,6 +80,8 @@ class ContinuousBatchingScheduler:
         gen_cfg: Optional[GenerationConfig] = None,
         rng: Optional[jax.Array] = None,
         mesh=None,  # jax.sharding.Mesh → TP-sharded decoder + KV cache
+        speculative: int = 0,  # prompt-lookup window per round (greedy)
+        spec_ngram: int = 2,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -122,6 +126,13 @@ class ContinuousBatchingScheduler:
         self.slot_temp = np.zeros(max_batch, np.float32)
         self.slot_top_p = np.ones(max_batch, np.float32)
 
+        self.speculative = int(speculative)
+        self.spec_ngram = int(spec_ngram)
+        if self.speculative and not self._supports_spec:
+            raise ValueError(
+                "speculative decoding needs the contiguous KV cache "
+                "(the paged scheduler's rows live behind a page table)")
+
         # params are explicit jit ARGUMENTS, not closure captures: captured
         # constants are baked into every compiled program (7 GB shipped per
         # compile through a remote runtime)
@@ -130,6 +141,9 @@ class ContinuousBatchingScheduler:
                                     donate_argnums=(4,))
         self._tick_jit = jax.jit(self._tick, donate_argnums=(2,),
                                  static_argnames=("sample",))
+        self._spec_tick_jit = jax.jit(
+            self._spec_tick, donate_argnums=(2,),
+            static_argnames=("width", "ngram", "rounds"))
 
     @staticmethod
     def _bucket_sizes(n: int):
@@ -147,6 +161,14 @@ class ContinuousBatchingScheduler:
             out.append(b)
             n -= b
         return out
+
+    def set_speculative(self, width: int) -> None:
+        """Toggle speculative ticks (0 = plain); no re-jit needed — the
+        window width is a static argument of the spec-tick program."""
+        if width and not self._supports_spec:
+            raise ValueError("speculative decoding needs the contiguous "
+                             "KV cache")
+        self.speculative = int(width)
 
     def set_tokens_per_tick(self, k: int) -> None:
         """Change the decode chunk size; only the tick program recompiles
@@ -283,6 +305,83 @@ class ContinuousBatchingScheduler:
         (_, cache, _, _), (toks, live) = jax.lax.scan(
             body, (tokens, cache, active, budgets), rngs)
         return toks, live, cache
+
+    def _spec_tick(self, llama_params, tokens, cache, active, budgets,
+                   hist, hist_len, *, width: int, ngram: int, rounds: int):
+        """`rounds` speculative decode rounds over all slots in ONE
+        dispatch (see serve/speculative.py). Per round each slot proposes
+        up to `width` tokens from its own history (device-side prompt
+        lookup), verifies the whole window through the continuation
+        prefill, and advances by 1..width+1 tokens — one weight read per
+        round either way, so greedy throughput is never below the plain
+        tick's and multiplies with the acceptance rate. Emits
+        (rounds, B, width+1) tokens + live mask; greedy-only (step()
+        falls back to _tick while any active slot samples)."""
+        from ..models.llama import llama_prefill_continue
+        from .speculative import accept_window, propose_from_history
+
+        s_max = cache.k.shape[3]
+        b = tokens.shape[0]
+        wp1 = width + 1
+        rows = jnp.arange(b)[:, None]
+        i2 = jnp.arange(wp1)[None, :]
+        s_hist = hist.shape[1]
+
+        def body(carry, _):
+            toks, cache, act, budg, hist, hlen = carry
+            prop, n_prop = propose_from_history(
+                hist, hlen, ngram=ngram, width=width)
+            # the verify writes 1+n rows at cache.length; clamp proposals
+            # to cache room and to the remaining budget (anything past
+            # budget-1 could never be emitted)
+            room = s_max - cache.length - 1
+            n_prop = jnp.minimum(
+                n_prop, jnp.clip(jnp.minimum(room, budg - 1), 0, width))
+            window = jnp.concatenate([toks[:, None], prop], axis=1)
+            suffix = jnp.where(act, 1 + n_prop, 0).astype(jnp.int32)
+            embeds = jnp.take(llama_params["embed_tokens"],
+                              jnp.maximum(window, 0), axis=0)
+            logits_all, new_cache = llama_prefill_continue(
+                llama_params, self.cfg.llama, cache,
+                inputs_embeds=embeds, suffix_len=suffix,
+                start=cache.length, compute_dtype=self.compute_dtype,
+                return_all_logits=True)
+            preds = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
+            p, corr = accept_window(prop, n_prop, preds)
+            # emissions: accepted proposals then the correction token,
+            # clamped to the budget (the token that exhausts the budget
+            # is still emitted — _push_token parity)
+            e = jnp.where(act, jnp.minimum(p + 1, budg), 0)
+            tok_out = jnp.where(i2 < p[:, None],
+                                jnp.pad(prop, ((0, 0), (0, 1))),
+                                corr[:, None])
+            live = (i2 < e[:, None]) & act[:, None]
+            emit = jnp.where(live, tok_out, self.pad)
+            new_budg = budg - e
+            emitted_corr = e == p + 1
+            new_act = (act & (new_budg > 0)
+                       & ~(emitted_corr & (corr == self.eos)))
+            # rewind: only rows for the slot's last token + accepted
+            # proposals are real; rejected rows sit past the new length
+            # (masked, overwritten by the next append)
+            new_cache = new_cache._replace(
+                length=jnp.where(act, cache.length + e,
+                                 cache.length).astype(jnp.int32))
+            # history gains the emitted tokens except a terminal EOS
+            # (the host never appends EOS to outputs either)
+            nk = e - (emitted_corr & (corr == self.eos)).astype(jnp.int32)
+            dest = jnp.where((i2 < nk[:, None]) & act[:, None],
+                             hlen[:, None] + i2, s_hist)
+            hist = hist.at[rows, dest].set(emit, mode="drop")
+            hlen = hlen + nk
+            new_toks = jnp.where(new_act, corr, self.pad)
+            return ((new_toks, new_cache, new_act, new_budg, hist, hlen),
+                    (emit, live))
+
+        (_, cache, _, _, _, _), (toks_out, live_out) = jax.lax.scan(
+            body, (tokens, cache, active, budgets, hist, hist_len),
+            None, length=rounds)
+        return toks_out, live_out, cache
 
     # -- host-side scheduling --------------------------------------------------
 
@@ -458,11 +557,51 @@ class ContinuousBatchingScheduler:
                 self._release_slot(slot)
         self.active[:] = False
 
+    def _history_arrays(self):
+        """(B, S) token history (prompt + emitted) per active slot — the
+        proposal source for the speculative tick. The host is canonical;
+        the device copy is rebuilt every tick (~70 KB, noise next to a
+        weight read) so intra-tick device updates never drift."""
+        s_hist = self.max_seq_len + self.speculative + 1
+        hist = np.zeros((self.max_batch, s_hist), np.int32)
+        hlen = np.zeros(self.max_batch, np.int32)
+        for slot, req in enumerate(self.slot_req):
+            if req is None or not self.active[slot]:
+                continue
+            toks = np.concatenate([
+                np.asarray(req.input_ids, np.int64),
+                np.asarray(req.output_ids, np.int64)]).astype(np.int32)
+            if len(toks) > s_hist:
+                toks = toks[-s_hist:]  # recency is what matching needs
+            hist[slot, :len(toks)] = toks
+            hlen[slot] = len(toks)
+        return hist, hlen
+
+    def _step_speculative(self) -> int:
+        hist, hlen = self._history_arrays()
+        toks, live, self.cache = self._spec_tick_jit(
+            self.llama_params, jnp.asarray(self.last_tokens), self.cache,
+            jnp.asarray(self.active), jnp.asarray(self.slot_budget),
+            jnp.asarray(hist), jnp.asarray(hlen),
+            width=self.speculative, ngram=self.spec_ngram,
+            rounds=self.tokens_per_tick)
+        toks_host = np.asarray(toks)   # (rounds, B, W+1)
+        live_host = np.asarray(live)
+        for r in range(toks_host.shape[0]):
+            for i in range(toks_host.shape[2]):
+                for slot in range(self.max_batch):
+                    if live_host[r, slot, i] and self.active[slot]:
+                        self._push_token(slot, int(toks_host[r, slot, i]))
+        return int(self.active.sum())
+
     def step(self) -> int:
         """One decode tick (= `tokens_per_tick` tokens per active slot in a
         single dispatch) over all slots; returns #still-active."""
         if not self.active.any():
             return 0
+        if (self.speculative > 0 and
+                float(self.slot_temp[self.active].max(initial=0.0)) <= 0.0):
+            return self._step_speculative()
         self._rng, step_rng = jax.random.split(self._rng)
         toks, live, self.cache = self._tick_jit(
             self.llama_params, jnp.asarray(self.last_tokens), self.cache,

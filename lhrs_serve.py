@@ -61,6 +61,11 @@ def main():
                            help="paged mode: run the prefill decoder over "
                                 "fixed-width embed chunks so one compiled "
                                 "program serves all prompt widths"),
+            p.add_argument("--speculative", type=int, default=0,
+                           help="contiguous scheduler: prompt-lookup "
+                                "window per speculative round (greedy "
+                                "ticks advance up to N+1 tokens per "
+                                "weight read; 0 = off)"),
             p.add_argument("--cpu", action="store_true",
                            help="force the CPU backend (smoke runs / "
                                 "debugging without a reachable TPU)"),
@@ -107,6 +112,8 @@ def main():
             tokens_per_tick=int(config.tokens_per_tick),
             gen_cfg=gen_cfg,
             prefill_chunk=int(config.prefill_chunk) or None,
+            # raises with a clear message if --speculative was also given
+            speculative=int(getattr(config, "speculative", 0)),
         )
     else:
         sched = ContinuousBatchingScheduler(
@@ -117,6 +124,7 @@ def main():
             cache_dtype=engine.cache_dtype,
             tokens_per_tick=int(config.tokens_per_tick),
             gen_cfg=gen_cfg,
+            speculative=int(getattr(config, "speculative", 0)),
         )
     frontend = ServingFrontend(
         sched, tokenizer,

@@ -403,3 +403,120 @@ class TestMultiTokenTick:
         sched.run([req])
         assert req.done
         assert len(req.output_ids) <= 1
+
+
+class TestSpeculativeScheduler:
+    """On-device prompt-lookup speculation (serve/speculative.py): the
+    spec tick must be token-for-token identical to the plain tick for
+    greedy decoding, on proposals that hit AND on ones that never do."""
+
+    def _run(self, setup, prompts, spec, budgets=None, k=4):
+        cfg, params, engine, _ = setup
+        sched = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=3,
+            max_seq_len=96, compute_dtype=jnp.float32,
+            cache_dtype=jnp.float32, tokens_per_tick=k,
+            eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16,
+            speculative=spec)
+        reqs = [Request(uid=i, input_ids=p,
+                        max_new_tokens=(budgets[i] if budgets else 8))
+                for i, p in enumerate(prompts)]
+        sched.run(reqs)
+        assert all(r.done for r in reqs)
+        return [list(r.output_ids) for r in reqs]
+
+    def test_matches_plain_tick_random_prompts(self, setup):
+        rng = np.random.default_rng(11)
+        prompts = [rng.integers(3, 200, size=(n,)).astype(np.int32)
+                   for n in (5, 9, 7, 6)]
+        assert (self._run(setup, prompts, spec=4)
+                == self._run(setup, prompts, spec=0))
+
+    def test_matches_plain_tick_repetitive_prompts(self, setup):
+        # repeated n-grams → proposals fire and (mostly) miss on a random
+        # model; acceptance bookkeeping must stay exact either way
+        base = np.asarray([7, 8, 9, 10], np.int32)
+        prompts = [np.tile(base, 6), np.tile(base[:3], 8),
+                   np.concatenate([base, base, [11, 12], base])]
+        prompts = [p.astype(np.int32) for p in prompts]
+        assert (self._run(setup, prompts, spec=4)
+                == self._run(setup, prompts, spec=0))
+
+    def test_budgets_respected(self, setup):
+        rng = np.random.default_rng(3)
+        prompts = [np.tile(np.asarray([5, 6], np.int32), 10),
+                   rng.integers(3, 200, size=(7,)).astype(np.int32)]
+        outs = self._run(setup, prompts, spec=3, budgets=[2, 5])
+        plain = self._run(setup, prompts, spec=0, budgets=[2, 5])
+        assert outs == plain
+        assert len(outs[0]) <= 2 and len(outs[1]) <= 5
+
+    def test_sampling_slot_falls_back_to_plain_tick(self, setup):
+        cfg, params, engine, _ = setup
+        sched = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=2,
+            max_seq_len=96, compute_dtype=jnp.float32,
+            cache_dtype=jnp.float32, tokens_per_tick=4,
+            eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16,
+            speculative=4)
+        rng = np.random.default_rng(1)
+        reqs = [Request(uid=0, input_ids=rng.integers(
+                    3, 200, size=(6,)).astype(np.int32),
+                    max_new_tokens=5, temperature=0.9, top_p=0.9),
+                Request(uid=1, input_ids=rng.integers(
+                    3, 200, size=(8,)).astype(np.int32),
+                    max_new_tokens=5)]
+        sched.run(reqs)
+        assert all(r.done and len(r.output_ids) >= 1 for r in reqs)
+
+    def test_paged_scheduler_rejects_speculative(self, setup):
+        cfg, params, engine, _ = setup
+        from lhrs_bot_tpu.serve.paged import PagedScheduler
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="paged"):
+            PagedScheduler(cfg, params, engine.llama_params,
+                           num_pages=16, page_size=16, max_seq_len=96,
+                           compute_dtype=jnp.float32,
+                           cache_dtype=jnp.float32, speculative=2)
+
+
+class TestProposeFromHistory:
+    def test_matches_host_reference(self):
+        from lhrs_bot_tpu.serve.speculative import propose_from_history
+
+        def host_ref(hist, n, ngram, width, min_token=3):
+            """Mirror of the device policy: most recent occurrence of the
+            final ngram (ending strictly before the end), continuation
+            truncated at the first special token."""
+            h = hist[:n]
+            if n < ngram + 1:
+                return [], 0
+            pat = h[-ngram:]
+            best = -1
+            for i in range(n - ngram):
+                if (h[i:i + ngram] == pat).all():
+                    best = i
+            if best < 0:
+                return [], 0
+            follow = h[best + ngram:best + ngram + width]
+            out = []
+            for t in follow:
+                if t < min_token:
+                    break
+                out.append(int(t))
+            return out, len(out)
+
+        rng = np.random.default_rng(0)
+        B, S, W, NG = 8, 40, 5, 2
+        hist = rng.integers(0, 9, size=(B, S)).astype(np.int32)
+        hlen = rng.integers(0, S + 1, size=(B,)).astype(np.int32)
+        hist[3, :] = 7  # fully repetitive row
+        hlen[3] = 20
+        hlen[4] = 0
+        prop, n = propose_from_history(
+            jnp.asarray(hist), jnp.asarray(hlen), ngram=NG, width=W)
+        prop, n = np.asarray(prop), np.asarray(n)
+        for b in range(B):
+            exp, en = host_ref(hist[b], int(hlen[b]), NG, W)
+            assert int(n[b]) == en, (b, n[b], en)
+            assert list(prop[b][:en]) == exp, (b, prop[b], exp)
