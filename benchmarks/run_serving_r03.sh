@@ -30,9 +30,14 @@ print(json.dumps(rec))
 EOF
 }
 
-run contiguous_int8 --slots 8 --cache-dtype int8 --new-tokens 96 \
+# slots=7 is the largest batch the axon remote-compile helper accepts at
+# S_max=2304 (every (8, 2304) 7B program — contiguous or paged, any
+# prompt width — fails with "tpu_compile_helper subprocess exit code 1";
+# (7, 2304) compiles and runs; measured 2026-08-18). HBM itself fits 8
+# int8-KV slots; the ceiling is the helper's compile-time resources.
+run contiguous_int8 --slots 7 --cache-dtype int8 --new-tokens 96 \
     --speculative 4
-run paged_prefix_int8 --slots 8 --cache-dtype int8 --new-tokens 96 \
+run paged_prefix_int8 --slots 7 --cache-dtype int8 --new-tokens 96 \
     --paged --prefill-chunk 512
 
 python - <<'EOF'
@@ -44,7 +49,7 @@ for r in recs:
     if v and (best is None or v > best):
         best = v
 out = {"metric": "serving_aggregate_decode_tok_s_parity_ctx",
-       "value": best, "unit": "tok/s (8 slots, 7B int8, S_max=2304)",
+       "value": best, "unit": "tok/s (7B int8, S_max=2304)",
        "configs": recs}
 json.dump(out, open("benchmarks/SERVING_r03.json", "w"), indent=1)
 print(json.dumps({"metric": out["metric"], "value": best}))

@@ -230,7 +230,8 @@ def main():
     print(json.dumps({
         "metric": "serving_aggregate_decode_tok_s",
         "value": results.get("steady_tok_s_k8"),
-        "unit": "tok/s (8 slots, 7B int8, multi-token ticks k=8)",
+        "unit": f"tok/s ({args.slots} slots, 7B int8, "
+                "multi-token ticks k=8)",
         "tick_amortization_speedup": round(speedup, 2),
         "extra": report,
     }))
