@@ -119,12 +119,16 @@ def bench_decode():
     extra = {}
     for key, kwargs in (
         ("decode_b2_s2304_total_tok_s", dict(B=2, SMAX=2304, L0=2192)),
-        ("decode_b4_s2304_total_tok_s", dict(B=4, SMAX=2304, L0=2192)),
+        # b4 bf16 cache (9.7 GB KV + int8 weights) and any (8, 2304)
+        # program exceed the axon remote-compile helper's limits
+        # (subprocess exit 1, measured 2026-08-18); b3/b7 are the largest
+        # compilable points at parity context
+        ("decode_b3_s2304_total_tok_s", dict(B=3, SMAX=2304, L0=2192)),
         ("decode_b1_s512_tok_s", dict(B=1, SMAX=512, L0=256)),
         ("decode_b1_s2304_int8cache_tok_s",
          dict(B=1, SMAX=2304, L0=2192, cache_dtype=jnp.int8)),
-        ("decode_b8_s2304_int8cache_total_tok_s",
-         dict(B=8, SMAX=2304, L0=2192, cache_dtype=jnp.int8)),
+        ("decode_b7_s2304_int8cache_total_tok_s",
+         dict(B=7, SMAX=2304, L0=2192, cache_dtype=jnp.int8)),
     ):
         try:
             extra[key] = round(measure(**kwargs), 2)
