@@ -644,6 +644,15 @@ class GenerationEngine:
         else:
             width, cache_len = self._bucketed(t, n_img,
                                               gen_cfg.max_new_tokens)
+            if session:
+                # pre-size the session cache to the full context: growing
+                # it on a later turn pays a whole-cache copy (resized) AND
+                # a fresh continuation-program compile mid-chat — measured
+                # 2.7 s turn TTFT vs 0.05 s at 7B when turn 3 crossed a
+                # cache bucket (benchmarks/session_ttft.py). A chat
+                # session converges to full context anyway, and one cache
+                # shape means one compiled continuation/decode program.
+                cache_len = self.max_seq_len
             seq_len = min(int(seq_len), width)
             raw = raw[:seq_len]
             gen_cfg = self._clamp_new_tokens(

@@ -330,6 +330,34 @@ class TestEngine:
         assert t_sess == t_fresh
         engine.reset_session()
 
+    def test_session_cache_presized_no_mid_chat_resize(self, setup):
+        """session=True allocates the full-context cache on turn 1: a later
+        turn must never grow it (a resize pays a whole-cache copy + a new
+        continuation-program compile mid-chat — measured 2.7 s vs 0.05 s
+        turn TTFT at 7B, benchmarks/session_ttft.py) and outputs must still
+        match a fresh run."""
+        cfg, params, engine = setup
+        rng = np.random.default_rng(17)
+        turn1 = rng.integers(3, 200, size=(10,)).astype(np.int32)
+        gcfg = GenerationConfig(max_new_tokens=4)
+        engine.reset_session()
+        t1 = list(engine.stream(turn1[None], len(turn1), gen_cfg=gcfg,
+                                session=True))
+        assert engine._session["cache"].k.shape[3] == engine.max_seq_len
+        # grow the history past what the old bucketed sizing allocated
+        # (ceil((16+4)/256·bucket) — any later turn used to resize)
+        convo = np.concatenate([turn1, np.asarray(t1, np.int32),
+                                rng.integers(3, 200, size=(30,))
+                                .astype(np.int32)])
+        t2 = list(engine.stream(convo[None], len(convo), gen_cfg=gcfg,
+                                session=True))
+        assert engine._session["cache"].k.shape[3] == engine.max_seq_len
+        engine.reset_session()
+        t2_fresh = list(engine.stream(convo[None], len(convo),
+                                      gen_cfg=gcfg))
+        assert t2 == t2_fresh, (t2, t2_fresh)
+        engine.reset_session()
+
     def test_generate_clamps_to_cache_room(self, setup):
         """A prompt + max_new_tokens that overflows the cache must be
         clamped (engine parity with scheduler.admit): without the clamp the
