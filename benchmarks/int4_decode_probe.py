@@ -33,14 +33,16 @@ def main():
 
     from lhrs_bot_tpu.models.llama import (
         KVCache, LlamaConfig, llama_decode_step)
-    from lhrs_bot_tpu.ops.quant import quantize_int4, quantize_int8
+    from lhrs_bot_tpu.ops.quant import (
+        quantize_int4, quantize_int4h, quantize_int8)
 
     cfg = LlamaConfig.llama2_7b()
     d, ffn, L, V = (cfg.hidden_size, cfg.intermediate_size,
                     cfg.num_hidden_layers, cfg.vocab_size)
 
     def build(bits):
-        qfn = quantize_int8 if bits == 8 else quantize_int4
+        qfn = {8: quantize_int8, 4: quantize_int4,
+               "4h": quantize_int4h}[bits]
 
         def qinit(key, shape):
             f = jax.jit(lambda k: qfn(
@@ -111,11 +113,14 @@ def main():
         return steps * B / min(times)
 
     out = {}
-    for bits in (4, 8):  # int4 first: both param sets never coreside
+    which = ("4h", 8) if "--kernel" in sys.argv else (4, 8)
+    for bits in which:  # int4 first: both param sets never coreside
         params = build(bits)
         out[f"decode_b1_s2304_w{bits}_tok_s"] = round(measure(params), 2)
         del params
-    out["fused_unpack"] = out["decode_b1_s2304_w4_tok_s"] > (
+    w4_key = ("decode_b1_s2304_w4h_tok_s" if "4h" in which
+              else "decode_b1_s2304_w4_tok_s")
+    out["fused_unpack"] = out[w4_key] > (
         out["decode_b1_s2304_w8_tok_s"] * 1.15)
     print(json.dumps({"metric": "int4_decode_probe", **out}))
 

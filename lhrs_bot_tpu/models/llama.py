@@ -38,9 +38,30 @@ from ..ops.rmsnorm import rms_norm
 from ..ops.rope import apply_rope, rope_cos_sin
 
 
+class _W4Stacked:
+    """A stacked halves-packed int4 weight plus a traced layer index.
+
+    Built inside the decode scan body so `_dense` can route the projection
+    to the Pallas W4A8 kernel with the FULL (L, K/2, N) array + the layer
+    as a scalar-prefetch operand — a per-layer lax.scan slice of a packed
+    tensor would materialize a copy, re-paying the HBM traffic the packed
+    layout exists to halve (measured: XLA-unpacked int4 decode runs at
+    4.6 tok/s vs int8's 86.4, benchmarks/int4_decode_probe.py)."""
+
+    __slots__ = ("qt", "li", "interpret")
+
+    def __init__(self, qt, li, interpret=None):
+        self.qt = qt
+        self.li = li
+        self.interpret = interpret
+
+
 def _dense(x: jnp.ndarray, w) -> jnp.ndarray:
     """Matmul that accepts bf16/f32 weights or QuantizedTensors (int8/int4
     weights with the dequant scale folded into the epilogue)."""
+    if isinstance(w, _W4Stacked):
+        from ..ops.w4_matmul import w4a8_project
+        return w4a8_project(x, w.qt, w.li, interpret=w.interpret)
     if isinstance(w, QuantizedTensor):
         return quantized_matmul(x, w, out_dtype=x.dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
@@ -547,6 +568,7 @@ def llama_decode_step(
     inputs_embeds: jnp.ndarray,  # (B, 1, D) — embedding of the new token
     compute_dtype=jnp.bfloat16,
     use_fused: Optional[bool] = None,
+    use_w4: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step: returns (logits (B, V), updated cache).
 
@@ -620,10 +642,43 @@ def llama_decode_step(
         x_out = x_mid + _silu_mlp(h2, lp)
         return (x_out, kc, vc, ks, vs, li + 1), None
 
+    if use_w4 is None:
+        # halves-packed int4 weights take the Pallas W4A8 kernel: the
+        # stacked weight streams packed from HBM with the layer index
+        # scalar-prefetched (ops/w4_matmul.py). Lane tiling needs
+        # 128-multiple projection widths.
+        use_w4 = (jax.default_backend() == "tpu"
+                  and isinstance(layers.get("wq"), QuantizedTensor)
+                  and layers["wq"].bits == "4h"
+                  and cfg.hidden_size % 256 == 0
+                  and cfg.intermediate_size % 128 == 0)
+
     init = (x, cache.k, cache.v, cache.k_scale, cache.v_scale,
             jnp.zeros((), jnp.int32))
-    (x, new_k, new_v, new_ks, new_vs, _), _ = jax.lax.scan(
-        body, init, layers)
+    if use_w4:
+        w4_interp = jax.default_backend() != "tpu"
+
+        def _lp_at(li):
+            lp = {}
+            for name, w in layers.items():
+                if isinstance(w, QuantizedTensor) and w.bits == "4h":
+                    lp[name] = _W4Stacked(w, li, interpret=w4_interp)
+                elif isinstance(w, QuantizedTensor):
+                    lp[name] = QuantizedTensor(
+                        w.q[li], w.scale[li], bits=w.bits)
+                else:
+                    lp[name] = jax.lax.dynamic_index_in_dim(
+                        w, li, 0, keepdims=False)
+            return lp
+
+        def body_w4(carry, _):
+            return body(carry, _lp_at(carry[5]))
+
+        (x, new_k, new_v, new_ks, new_vs, _), _ = jax.lax.scan(
+            body_w4, init, None, length=cfg.num_hidden_layers)
+    else:
+        (x, new_k, new_v, new_ks, new_vs, _), _ = jax.lax.scan(
+            body, init, layers)
     x = rms_norm(x, params["final_norm"].astype(compute_dtype),
                  cfg.rms_norm_eps)
     logits = jnp.dot(x[:, 0, :], params["lm_head"].astype(compute_dtype),

@@ -79,6 +79,8 @@ def dequantize(qt: QuantizedTensor) -> jnp.ndarray:
         return _dequantize_nf4(qt.q, qt.scale)
     if qt.bits == 4:
         q = unpack_int4(qt.q)
+    elif qt.bits == "4h":
+        q = unpack_int4_halves(qt.q)
     else:
         q = qt.q
     return q.astype(jnp.float32) * qt.scale
@@ -95,7 +97,12 @@ def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor,
         acc = jnp.dot(x.astype(jnp.bfloat16), w,
                       preferred_element_type=jnp.float32)
         return acc.astype(out_dtype)
-    q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
+    if qt.bits == 4:
+        q = unpack_int4(qt.q)
+    elif qt.bits == "4h":
+        q = unpack_int4_halves(qt.q)
+    else:
+        q = qt.q
     acc = jnp.dot(x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
     return (acc * qt.scale.astype(jnp.float32)).astype(out_dtype)
@@ -160,6 +167,40 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     inter = jnp.stack([lo, hi], axis=-2)  # (…, n, 2, out)
     out_shape = packed.shape[:-2] + (2 * packed.shape[-2],) + packed.shape[-1:]
     return inter.reshape(out_shape)
+
+
+def pack_int4_halves(q: jnp.ndarray) -> jnp.ndarray:
+    """(…, 2n, out) int8 in [-8, 7] → (…, n, out): contraction row r goes
+    to the LOW nibble of packed row r, row n + r to the HIGH nibble.
+
+    This "halves" layout is what the Pallas W4A8 decode kernel
+    (ops/w4_matmul.py) consumes: the matching activation split is two
+    contiguous (B, n) slices (no stride-2 gather), and the in-kernel unpack
+    is two whole-block int8 shifts with no interleave relayout."""
+    assert q.shape[-2] % 2 == 0
+    n = q.shape[-2] // 2
+    lo = q[..., :n, :] & 0x0F
+    hi = (q[..., n:, :] & 0x0F) << 4
+    return (lo | hi).astype(jnp.int8)
+
+
+def unpack_int4_halves(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_int4_halves: (…, n, out) → (…, 2n, out)."""
+    lo = (packed << 4).astype(jnp.int8) >> 4
+    hi = packed.astype(jnp.int8) >> 4
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def quantize_int4h(w: jnp.ndarray, axis: int = -2) -> QuantizedTensor:
+    """Symmetric per-output-channel int4 in the halves-packed layout
+    (bits="4h") — the layout the fused TPU decode matmul streams."""
+    assert axis % w.ndim == w.ndim - 2, (axis, w.shape)
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = absmax / 7.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    return QuantizedTensor(q=pack_int4_halves(q), scale=scale, bits="4h")
 
 
 # ---------------------------------------------------------------------------
@@ -278,6 +319,10 @@ def quantize_llama_layers(layers: Dict[str, jnp.ndarray],
         fn = quantize_int8
     elif quant_type == "nf4":
         fn = lambda w, axis: quantize_nf4(w, axis, double_quant=double_quant)
+    elif quant_type == "int4h":
+        # halves-packed linear int4: the layout the Pallas W4A8 decode
+        # matmul (ops/w4_matmul.py) streams packed from HBM
+        fn = quantize_int4h
     else:
         fn = quantize_int4
     out: Dict[str, Any] = {}
