@@ -135,14 +135,23 @@ class Conversation:
         return ret
 
     def _normalized_messages(self):
-        """First message may be (text, image, ...) tuples in the web UI; move
-        <image> to the front of the text."""
+        """First message may be (text, image, ...) tuples in the web UI.
+
+        Non-mmtag templates move <image> to the front of the text; mmtag
+        templates instead insert a dedicated image turn —
+        ``<Image><image></Image>`` answered by "Received." — before the
+        stripped first message (reference conversation.py:33-41)."""
         messages = self.messages
         if messages and isinstance(messages[0][1], tuple):
             messages = [list(m) for m in messages]
             role, msg = messages[0]
             text = msg[0].replace("<image>", "").strip()
-            messages[0] = [role, "<image>\n" + text]
+            if "mmtag" in self.version:
+                messages[0] = [role, text]
+                messages.insert(0, [self.roles[0], "<Image><image></Image>"])
+                messages.insert(1, [self.roles[1], "Received."])
+            else:
+                messages[0] = [role, "<image>\n" + text]
         return messages
 
     def get_prompt(self) -> str:

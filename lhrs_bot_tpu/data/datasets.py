@@ -341,14 +341,23 @@ class RSVQADataset:
         conv.append_message(conv.roles[1], None)
         return tokenizer_image_token(conv.get_prompt(), self.tokenizer)
 
+    # Candidate image directories, searched in order; the reference keeps
+    # one flat image_root of {id}.tif files (rsvqa.py:158) but the public
+    # corpora unpack under different dir names per variant.
+    IMAGE_DIRS = ("Images_LR", "Data", "Images", "")
+
+    def _image_path(self, image_id) -> str:
+        for d in self.IMAGE_DIRS:
+            p = os.path.join(self.root, d, f"{image_id}.tif")
+            if os.path.exists(p):
+                return p
+        return os.path.join(self.root, self.IMAGE_DIRS[0],
+                            f"{image_id}.tif")
+
     def __getitem__(self, idx: int) -> Dict:
         item = self.items[idx]
-        img_path = os.path.join(self.root, "Images_LR",
-                                f"{item['image_id']}.tif")
-        if not os.path.exists(img_path):
-            img_path = os.path.join(self.root, "Data",
-                                    f"{item['image_id']}.tif")
-        image = _load_image(img_path, self.image_size)
+        image = _load_image(self._image_path(item["image_id"]),
+                            self.image_size)
         return {
             "input_ids": np.asarray(self._prompt_ids(item["question"])),
             "image": image,
@@ -356,6 +365,43 @@ class RSVQADataset:
             "qtype": item["type"],
             "question_id": item["question_id"],
         }
+
+
+class RSVQALR(RSVQADataset):
+    """Low-resolution variant (reference rsvqa.py:189-193): file prefix LR."""
+
+    def __init__(self, root: str, tokenizer, **kwargs):
+        kwargs["prefix"] = "LR"
+        super().__init__(root, tokenizer, **kwargs)
+
+
+class RSVQAHR(RSVQADataset):
+    """High-resolution variant (reference rsvqa.py:195-199): file prefix
+    USGS (the HR corpus ships its JSONs as USGS_split_*)."""
+
+    def __init__(self, root: str, tokenizer, **kwargs):
+        kwargs["prefix"] = "USGS"
+        super().__init__(root, tokenizer, **kwargs)
+
+
+class RSVQAxBEN(RSVQADataset):
+    """BigEarthNet variant (reference rsvqa.py:201-205): file prefix
+    RSVQAxBEN, same JSON schema and count/area filtering."""
+
+    def __init__(self, root: str, tokenizer, **kwargs):
+        kwargs["prefix"] = "RSVQAxBEN"
+        super().__init__(root, tokenizer, **kwargs)
+
+
+# --data-target name → (dataset class, file prefix). HR answers ship under
+# the USGS prefix; xBEN under its own name (reference rsvqa.py:189-205).
+RSVQA_VARIANTS = {
+    "LR": RSVQALR,
+    "HR": RSVQAHR,
+    "USGS": RSVQAHR,
+    "XBEN": RSVQAxBEN,
+    "RSVQAXBEN": RSVQAxBEN,
+}
 
 
 class VGEvalDataset:

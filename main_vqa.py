@@ -47,7 +47,7 @@ def main():
         build_engine, build_model_and_tokenizer, parse_config, setup)
     from lhrs_bot_tpu.data import conversation as conv_lib
     from lhrs_bot_tpu.data.collate import GenerationCollator
-    from lhrs_bot_tpu.data.datasets import RSVQADataset
+    from lhrs_bot_tpu.data.datasets import RSVQA_VARIANTS, RSVQADataset
     from lhrs_bot_tpu.eval.metrics import TextVQAAccuracyEvaluator
 
     from lhrs_bot_tpu.serve.engine import GenerationConfig
@@ -60,11 +60,16 @@ def main():
     conv_lib.set_default_conversation(
         getattr(config, "prompt_template", "llava_llama_2"))
 
-    prefix = getattr(config, "data_target", None) or "LR"
-    dataset = RSVQADataset(config.data_path, tokenizer, prefix=prefix,
-                           image_size=int(config.rgb_vision.input_size[0]),
-                           prompt_type=getattr(config, "prompt_template",
-                                               "llava_llama_2"))
+    target = (getattr(config, "data_target", None) or "LR").upper()
+    cls = RSVQA_VARIANTS.get(target)
+    common = dict(image_size=int(config.rgb_vision.input_size[0]),
+                  prompt_type=getattr(config, "prompt_template",
+                                      "llava_llama_2"))
+    if cls is not None:
+        dataset = cls(config.data_path, tokenizer, **common)
+    else:  # an explicit file prefix (back-compat escape hatch)
+        dataset = RSVQADataset(config.data_path, tokenizer,
+                               prefix=target, **common)
     collator = GenerationCollator(
         tokenizer, extra_keys=("target", "qtype", "question_id"))
     gen_cfg = GenerationConfig(

@@ -89,6 +89,35 @@ class TestConversation:
         v1.append_message(v1.roles[1], "a")
         assert v1.get_prompt() == v1.system + " USER: q ASSISTANT: a</s>"
 
+    def test_mmtag_tupled_first_message_inserts_image_turn(self):
+        """conversation.py:33-41: a tupled (text, image, mode) first message
+        under an mmtag template becomes a dedicated <Image><image></Image>
+        turn answered "Received.", followed by the stripped text."""
+        conv = conv_lib.get_conversation("v0_mmtag")
+        conv.append_message(conv.roles[0],
+                            ("what is this? <image>", object(), "Crop"))
+        conv.append_message(conv.roles[1], None)
+        p = conv.get_prompt()
+        assert p == (conv.system
+                     + "###Human: <Image><image></Image>"
+                     + "###Assistant: Received."
+                     + "###Human: what is this?"
+                     + "###Assistant:")
+        # the stored messages are untouched (rendering is non-destructive)
+        assert isinstance(conv.messages[0][1], tuple)
+        assert len(conv.messages) == 2
+
+    def test_non_mmtag_tupled_first_message_front_normalizes(self):
+        """conversation.py:42: non-mmtag templates move <image> to the
+        text front instead."""
+        conv = conv_lib.get_conversation("llava_v0")
+        conv.messages = []
+        conv.append_message(conv.roles[0],
+                            ("what? <image>", object(), "Crop"))
+        conv.append_message(conv.roles[1], None)
+        assert ("Human: <image>\nwhat?###Assistant:"
+                in conv.get_prompt())
+
     def test_mmtag_image_wrap_in_preprocess_and_generation(self):
         """cap_dataset.py:869-876 + text_modal.py:552-558: with an mmtag
         default template, the image slot is wrapped <Image><image></Image>
@@ -352,3 +381,63 @@ class TestConversationImages:
         conv, _, _ = self._conv_with_images()
         prompt = conv.get_prompt()
         assert "<image>" in prompt and "what is here?" in prompt
+
+
+class TestRSVQAVariants:
+    """RSVQA dataset variants (reference rsvqa.py:64-205): prefix-named
+    file layout, count/area filtering, and the named LR/HR/xBEN classes."""
+
+    def _write_corpus(self, tmp_path, prefix, n_img=2):
+        import json as _json
+
+        from PIL import Image
+
+        qtypes = ["presence", "count", "comp", "area"]
+        questions, answers = [], []
+        for i in range(n_img * 2):
+            questions.append({
+                "id": i, "img_id": i % n_img, "active": True,
+                "type": qtypes[i % len(qtypes)],
+                "question": f"is there a road {i}?",
+                "answers_ids": [i],
+            })
+            answers.append({"id": i, "answer": "yes" if i % 2 else "no",
+                            "active": True})
+        images = [{"id": i, "active": True,
+                   "questions_ids": [j for j in range(n_img * 2)
+                                     if j % n_img == i]}
+                  for i in range(n_img)]
+        for kind, payload in (("questions", questions),
+                              ("answers", answers), ("images", images)):
+            with open(tmp_path / f"{prefix}_split_test_{kind}.json",
+                      "w") as fh:
+                _json.dump({kind: payload}, fh)
+        for i in range(n_img):
+            Image.new("RGB", (32, 32), (i * 40, 100, 50)).save(
+                tmp_path / f"{i}.tif")
+
+    def test_xben_named_variant(self, tmp_path, tok):
+        """rsvqa.py:201-205: RSVQAxBEN reads RSVQAxBEN_split_* files; the
+        flat {id}.tif image layout resolves via the root fallback."""
+        from lhrs_bot_tpu.data.datasets import RSVQA_VARIANTS, RSVQAxBEN
+
+        self._write_corpus(tmp_path, "RSVQAxBEN")
+        ds = RSVQAxBEN(str(tmp_path), tok, image_size=32)
+        # count/area filtered: 4 questions, 2 survive
+        assert len(ds) == 2
+        assert all(it["type"] not in ("count", "area") for it in ds.items)
+        item = ds[0]
+        assert item["image"].shape == (32, 32, 3)
+        assert item["target"] in ("yes", "no")
+        assert RSVQA_VARIANTS["XBEN"] is RSVQAxBEN
+        assert RSVQA_VARIANTS["RSVQAXBEN"] is RSVQAxBEN
+
+    def test_hr_uses_usgs_prefix(self, tmp_path, tok):
+        """rsvqa.py:195-199: the HR corpus ships USGS_split_* files."""
+        from lhrs_bot_tpu.data.datasets import RSVQA_VARIANTS, RSVQAHR
+
+        self._write_corpus(tmp_path, "USGS")
+        ds = RSVQAHR(str(tmp_path), tok, image_size=32)
+        assert len(ds) == 2
+        assert RSVQA_VARIANTS["HR"] is RSVQAHR
+        assert RSVQA_VARIANTS["USGS"] is RSVQAHR
