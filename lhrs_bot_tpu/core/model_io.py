@@ -96,7 +96,47 @@ def _load_pretrained_host(cfg, *, model_path, vit_path, llama_path, rng,
         params["llama"] = as_tree(
             ti.load_hf_llama(llama_path, cfg.llama), params["llama"])
 
-    if model_path and os.path.exists(model_path):
+    from .zero_import import load_zero_checkpoint, looks_like_zero_checkpoint
+
+    if model_path and looks_like_zero_checkpoint(model_path):
+        # custom_load_state_dict's directory branch (UniBind.py:84-88):
+        # consolidate the DeepSpeed ZeRO shard dir to fp32 and restore the
+        # FULL module (tower + pooler + decoder + any live LoRA)
+        logger.info("loading DeepSpeed ZeRO shard dir from %s", model_path)
+        loaded = load_zero_checkpoint(model_path, cfg.vit, cfg.pooler,
+                                      cfg.llama)
+        if "vit" in loaded:
+            params["vit"] = as_tree(loaded["vit"], params["vit"])
+        if "pooler" in loaded:
+            params["pooler"] = as_tree(loaded["pooler"], params["pooler"])
+        if "llama" in loaded:
+            params["llama"] = as_tree(loaded["llama"], params["llama"])
+        for key, val in loaded.get("extra", {}).items():
+            if "embed_tokens" in key:
+                params["llama"]["embed_tokens"] = fit(
+                    val, params["llama"]["embed_tokens"])
+            if "lm_head" in key:
+                w = val.T if val.shape[0] != cfg.llama.hidden_size else val
+                params["llama"]["lm_head"] = fit(
+                    w, params["llama"]["lm_head"])
+        lora = loaded.get("lora")
+        if lora is not None:
+            lora = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype), lora)
+            if cfg.stage == 0:
+                # the reference merges live adapters on directory loads
+                # (UniBind.py:86-87 merge_and_unload)
+                from ..models.lora import LoraConfig
+
+                r = cfg.lora.r if cfg.lora else 128
+                alpha = cfg.lora.alpha if cfg.lora else 256
+                lcfg = cfg.lora or LoraConfig(r=r, alpha=alpha)
+                params["llama"]["layers"] = merge_lora(
+                    params["llama"]["layers"], lora, lcfg,
+                    stop_base_gradient=False)
+            else:
+                params["lora"] = lora
+    elif model_path and os.path.exists(model_path):
         logger.info("loading FINAL checkpoint from %s", model_path)
         loaded = ti.load_final_pt(model_path, cfg.vit, cfg.pooler)
         if "vit" in loaded:

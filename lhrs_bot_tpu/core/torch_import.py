@@ -32,6 +32,8 @@ def _np(tensor) -> np.ndarray:
     """Preserve the stored dtype: upcasting a 13.5 GB f16 checkpoint to f32
     on the host doubles the copy work at load (consumers cast to their
     compute dtype on device anyway)."""
+    if isinstance(tensor, np.ndarray):
+        return tensor  # already host-side (e.g. the ZeRO consolidation path)
     t = tensor.detach().to("cpu")
     if t.dtype == __import__("torch").bfloat16:
         t = t.float()  # numpy has no bf16
