@@ -81,3 +81,70 @@ class TestParityTool:
     def test_context_is_spliced(self, parity_report):
         # the oracle must run at a spliced (image-expanded) context
         assert parity_report["ctx"] > 12  # > num_query alone
+
+
+@pytest.fixture(scope="module")
+def stat_report(tmp_path_factory):
+    """Statistical deployed-precision mode at reduced scale: margin-profile
+    checkpoint, teacher-forced logits for ours-bf16/ours-f32/torch-bf16."""
+    ckpt = str(tmp_path_factory.mktemp("fake_margin_ckpt"))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    gen = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "make_fake_reference_ckpt.py"),
+         "--output", ckpt, "--profile", "margin",
+         "--llama-layers", "4", "--llama-width", "256",
+         "--llama-ffn", "512", "--llama-heads", "4",
+         "--vocab", "1000", "--resized-vocab", "1000",
+         "--vit-layers", "4", "--vit-width", "128", "--vit-ffn", "256",
+         "--vit-heads", "4", "--image-size", "56",
+         "--pooler-layers", "2", "--num-query", "12", "--lora-r", "8"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300)
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    run = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "parity_full_scale.py"),
+         "--ckpt", ckpt, "--cpu", "--statistical", "8",
+         "--new-tokens", "6", "--stat-text-min", "12",
+         "--stat-text-max", "32",
+         "--configs", "bf16,f32,torch_bf16"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
+    assert run.returncode == 0, run.stderr[-2000:]
+    line = run.stdout.strip().splitlines()[-1]
+    return json.loads(line)["statistical"]
+
+
+class TestStatisticalParity:
+    def test_margin_profile_is_realistic(self, stat_report):
+        """The margin checkpoint must produce a SPREAD of margins — both
+        confident and contested positions — else agreement statistics
+        carry no information."""
+        pct = stat_report["bf16_vs_f32"]["ref_margin_pct"]
+        assert pct["p90"] > 2.0, pct        # confident positions exist
+        assert pct["p10"] < pct["p90"] / 3, pct  # and contested ones
+
+    def test_bf16_agreement_high_and_noise_like(self, stat_report):
+        s = stat_report["bf16_vs_f32"]
+        assert s["points"] == 8 * 7
+        assert s["top1_agree_rate"] >= 0.9, s
+        # the discriminator: any flip must be at a small margin relative
+        # to the perturbation scale (convention bugs flip large margins)
+        assert s["max_flipped_margin"] < 1.0, s
+        hi = s["agree_by_margin"]["margin_4.0_inf"]
+        if hi["n"]:
+            assert hi["agree_rate"] == 1.0, s
+
+    def test_cross_implementation_bf16_null_model(self, stat_report):
+        """ours-bf16 vs torch-bf16: two independent bf16 implementations
+        must agree wherever either is confident."""
+        s = stat_report["bf16_vs_torch_bf16"]
+        assert s["top1_agree_rate"] >= 0.85, s
+        assert s["max_flipped_margin"] < 1.0, s
+
+    def test_torch_bf16_vs_f32_calibrates_noise(self, stat_report):
+        """torch's own bf16-vs-f32 disagreement is the null model our
+        bf16 is judged against — it must be present in the report."""
+        s = stat_report["torch_bf16_vs_f32"]
+        assert s["points"] == 8 * 7
+        assert s["top5_overlap_mean"] > 4.0, s

@@ -29,7 +29,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def write_llama(out_dir: str, seed: int = 0, *, d: int = 4096,
                 ffn: int = 11008, L: int = 32, heads: int = 32,
-                V: int = 32000) -> None:
+                V: int = 32000, profile: str = "flat",
+                margin_gain: float = 2.5, margin_mix: float = 5.0):
+    """profile="flat": i.i.d. 0.02-scale weights (legacy; logit margins are
+    extreme-value-statistics flat, so greedy flips under ANY precision
+    perturbation carry no signal).
+
+    profile="margin": weights shaped so the f32 logit-margin distribution
+    resembles a trained LM's (VERDICT r3 #3 — "low-rank + scaled residual"):
+      * residual-dominant blocks: wo / down_proj are scaled by
+        alpha = margin_mix / (sqrt(L)·0.02·d), making each block's addition
+        ≈ |embedding|/sqrt(L) so the input token's embedding keeps O(1)
+        share of the final residual stream instead of being swamped;
+      * lm_head = margin_gain · embed[perm] + 0.002·noise (a low-rank-ish
+        coupling through the shared embedding): each hidden state strongly
+        prefers ONE vocab row (the permutation successor of the dominant
+        stream token), giving confident positions, while the accumulated
+        block randomness supplies a spread of genuinely close calls.
+    Greedy trajectories walk pseudo-randomly through the permutation, so
+    agreement statistics are informative at every position.
+
+    Returns the fp32 embedding matrix so FINAL.pt's resized embed_tokens
+    overlay can keep the SAME rows (the margin structure couples embedding
+    and lm_head; an uncorrelated overlay would destroy it).
+    """
     import torch
 
     torch.manual_seed(seed)
@@ -51,22 +74,42 @@ def write_llama(out_dir: str, seed: int = 0, *, d: int = 4096,
 
     from safetensors.torch import save_file
 
+    out_scale = 0.02
+    if profile == "margin":
+        out_scale = 0.02 * margin_mix / (max(L, 1) ** 0.5 * 0.02 * d)
+
     shard1, shard2 = {}, {}
-    shard1["model.embed_tokens.weight"] = t(V, d)
+    emb = torch.randn(V, d, dtype=torch.float32) * 0.02
+    shard1["model.embed_tokens.weight"] = emb.to(torch.float16)
     for i in range(L):
         dst = shard1 if i < L // 2 else shard2
         p = f"model.layers.{i}."
         dst[p + "input_layernorm.weight"] = torch.ones(d,
                                                        dtype=torch.float16)
-        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        for proj in ("q_proj", "k_proj", "v_proj"):
             dst[p + f"self_attn.{proj}.weight"] = t(d, d)
+        dst[p + "self_attn.o_proj.weight"] = t(d, d, scale=out_scale)
         dst[p + "post_attention_layernorm.weight"] = torch.ones(
             d, dtype=torch.float16)
         dst[p + "mlp.gate_proj.weight"] = t(ffn, d)
         dst[p + "mlp.up_proj.weight"] = t(ffn, d)
-        dst[p + "mlp.down_proj.weight"] = t(d, ffn)
+        dst[p + "mlp.down_proj.weight"] = t(d, ffn, scale=out_scale)
     shard2["model.norm.weight"] = torch.ones(d, dtype=torch.float16)
-    shard2["lm_head.weight"] = t(V, d)
+    if profile == "margin":
+        # per-row lognormal gains widen the margin distribution the way a
+        # trained LM's confidence varies by context: a position whose
+        # dominant stream token couples through a strong row is a
+        # high-margin call, a weak row leaves the block noise competitive
+        # → margins span near-0 to ~10x the median
+        perm = torch.randperm(V)
+        row_gain = torch.exp(
+            torch.randn(V, 1, dtype=torch.float32) * 0.9)
+        shard2["lm_head.weight"] = (
+            margin_gain * row_gain * emb[perm]
+            + torch.randn(V, d, dtype=torch.float32) * 0.002
+        ).to(torch.float16)
+    else:
+        shard2["lm_head.weight"] = t(V, d)
     save_file(shard1, os.path.join(out_dir,
                                    "model-00001-of-00002.safetensors"))
     save_file(shard2, os.path.join(out_dir,
@@ -81,6 +124,7 @@ def write_llama(out_dir: str, seed: int = 0, *, d: int = 4096,
               "w") as fh:
         json.dump({"metadata": {"total_size": 0},
                    "weight_map": weight_map}, fh)
+    return emb
 
 
 def clip_vision_sd(prefix: str = "vision_model.", seed: int = 1, *,
@@ -143,7 +187,7 @@ def write_final_pt(path: str, resized_vocab: int = 32004,
                    seed: int = 2, *, w: int = 1024, nq: int = 144,
                    L: int = 6, d_llm: int = 4096, vit_layers: int = 24,
                    vit_ffn: int = 4096, vit_patch: int = 14,
-                   image_size: int = 224) -> None:
+                   image_size: int = 224, base_embedding=None) -> None:
     import torch
 
     torch.manual_seed(seed)
@@ -175,11 +219,18 @@ def write_final_pt(path: str, resized_vocab: int = 32004,
     pooler["out_proj.weight"] = t(d_llm, w)
     pooler["out_proj.bias"] = torch.zeros(d_llm)
 
+    # resized embedding rows (reference adds special tokens). When the
+    # llama weights carry the margin profile, the overlay must KEEP the
+    # base rows (the margin structure ties embed_tokens to lm_head) and
+    # only append fresh rows for the special tokens.
+    emb_overlay = t(resized_vocab, d_llm)
+    if base_embedding is not None:
+        n = min(base_embedding.shape[0], resized_vocab)
+        emb_overlay[:n] = base_embedding[:n].to(emb_overlay.dtype)
     other = {
         "rgb_pooler": pooler,
         "text_proj": {},
-        # resized embedding rows (reference adds special tokens)
-        "embed_tokens": {"weight": t(resized_vocab, d_llm)},
+        "embed_tokens": {"weight": emb_overlay},
         "lm_head": {},
     }
     torch.save({"rgb_ckpt": rgb, "other_ckpt": other}, path)
@@ -187,7 +238,8 @@ def write_final_pt(path: str, resized_vocab: int = 32004,
 
 def write_text_lora(out_dir: str, r: int = 128, alpha: int = 256,
                     seed: int = 3, *, d: int = 4096, ffn: int = 11008,
-                    L: int = 32) -> None:
+                    L: int = 32, profile: str = "flat",
+                    margin_mix: float = 1.0) -> None:
     import torch
 
     torch.manual_seed(seed)
@@ -195,6 +247,12 @@ def write_text_lora(out_dir: str, r: int = 128, alpha: int = 256,
     dims = {"q_proj": (d, d), "k_proj": (d, d), "v_proj": (d, d),
             "o_proj": (d, d), "gate_proj": (d, ffn), "up_proj": (d, ffn),
             "down_proj": (ffn, d)}
+    # margin profile: the merged delta on the residual-WRITING projections
+    # (o/down) must not swamp their deliberately small base scale — shrink
+    # lora_B there by the same factor write_llama applies to the base
+    out_shrink = 1.0
+    if profile == "margin":
+        out_shrink = margin_mix / (max(L, 1) ** 0.5 * 0.02 * d)
     sd = {}
     for i in range(L):
         for proj, (din, dout) in dims.items():
@@ -202,13 +260,15 @@ def write_text_lora(out_dir: str, r: int = 128, alpha: int = 256,
                     if proj.endswith(("q_proj", "k_proj", "v_proj",
                                       "o_proj"))
                     else f"base_model.model.model.layers.{i}.mlp.")
+            b_scale = 0.002 * (out_shrink
+                               if proj in ("o_proj", "down_proj") else 1.0)
             sd[base + f"{proj}.lora_A.weight"] = (
                 torch.randn(r, din) * 0.01)
             # nonzero B: a trained adapter's B is nonzero, and the parity
             # oracle (tools/parity_full_scale.py) must exercise a REAL
             # merge — zero B would make merge-vs-no-merge indistinguishable
             sd[base + f"{proj}.lora_B.weight"] = (
-                torch.randn(dout, r) * 0.002)
+                torch.randn(dout, r) * b_scale)
     torch.save(sd, os.path.join(out_dir, "adapter_model.bin"))
     with open(os.path.join(out_dir, "adapter_config.json"), "w") as fh:
         json.dump({"peft_type": "LORA", "r": r, "lora_alpha": alpha,
@@ -234,12 +294,23 @@ def main():
     ap.add_argument("--pooler-layers", type=int, default=6)
     ap.add_argument("--num-query", type=int, default=144)
     ap.add_argument("--lora-r", type=int, default=128)
+    ap.add_argument("--profile", choices=("flat", "margin"),
+                    default="flat",
+                    help="'margin': realistic logit-margin spectrum "
+                    "(residual-dominant blocks + embedding-coupled "
+                    "lm_head) so greedy-agreement statistics are "
+                    "informative; 'flat': legacy i.i.d. weights")
+    ap.add_argument("--margin-gain", type=float, default=2.5)
+    ap.add_argument("--margin-mix", type=float, default=5.0)
     args = ap.parse_args()
     os.makedirs(args.output, exist_ok=True)
     print("writing llama/ ...", flush=True)
-    write_llama(os.path.join(args.output, "llama"), d=args.llama_width,
-                ffn=args.llama_ffn, L=args.llama_layers,
-                heads=args.llama_heads, V=args.vocab)
+    emb = write_llama(os.path.join(args.output, "llama"),
+                      d=args.llama_width, ffn=args.llama_ffn,
+                      L=args.llama_layers, heads=args.llama_heads,
+                      V=args.vocab, profile=args.profile,
+                      margin_gain=args.margin_gain,
+                      margin_mix=args.margin_mix)
     print("writing clip/ ...", flush=True)
     write_clip(os.path.join(args.output, "clip"), w=args.vit_width,
                L=args.vit_layers, heads=args.vit_heads, ffn=args.vit_ffn,
@@ -249,11 +320,18 @@ def main():
                    args.resized_vocab, w=args.vit_width,
                    nq=args.num_query, L=args.pooler_layers,
                    d_llm=args.llama_width, vit_layers=args.vit_layers,
-                   vit_ffn=args.vit_ffn, image_size=args.image_size)
+                   vit_ffn=args.vit_ffn, image_size=args.image_size,
+                   base_embedding=(emb if args.profile == "margin"
+                                   else None))
     print("writing TextLoRA/ ...", flush=True)
     write_text_lora(os.path.join(args.output, "TextLoRA"), r=args.lora_r,
                     alpha=2 * args.lora_r, d=args.llama_width,
-                    ffn=args.llama_ffn, L=args.llama_layers)
+                    ffn=args.llama_ffn, L=args.llama_layers,
+                    profile=args.profile, margin_mix=args.margin_mix)
+    with open(os.path.join(args.output, "gen_config.json"), "w") as fh:
+        json.dump({"profile": args.profile,
+                   "margin_gain": args.margin_gain,
+                   "margin_mix": args.margin_mix}, fh)
     print("done:", args.output)
 
 

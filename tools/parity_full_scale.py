@@ -341,6 +341,418 @@ def compare(ref_logits, ref_tokens, logits, tokens, n_new):
     }
 
 
+# ---------------------------------------------------------------------------
+# Statistical deployed-precision parity (VERDICT r3 task #3)
+#
+# The single-prompt oracle above answers "are the conventions exact in f32".
+# This mode answers "is the deployed precision's disagreement WITH f32 just
+# noise, or a convention bug that only bites off the f32 path" — which needs
+# statistics: N prompts × (new_tokens+1) teacher-forced positions, on a
+# checkpoint with a realistic logit-margin spectrum
+# (make_fake_reference_ckpt.py --profile margin).
+#
+# Protocol: the bf16 serving engine generates a greedy trajectory per
+# prompt (stat_traj.npz). Every config then runs ONE teacher-forced
+# forward over prompt+trajectory and records full logits at the decode
+# positions (stat_logits_<config>.npz). Comparisons are therefore at
+# IDENTICAL inputs for every config; a precision flip cannot cascade.
+# The discriminator: precision noise flips only low-margin positions
+# (flip rate falls off exponentially in margin), while a convention bug
+# flips high-margin positions too — reported as agreement-vs-margin
+# buckets and max_flipped_margin.
+# ---------------------------------------------------------------------------
+
+
+def stat_inputs(ckpt, cfg, n_prompts, text_min, text_max, n_new, seed=0):
+    """Deterministic prompt set (cached): right-padded ids (N, W), valid
+    lens, per-prompt pixels. W covers text_max + trajectory."""
+    import numpy as np
+
+    from lhrs_bot_tpu.models.constants import IMAGE_TOKEN_INDEX
+
+    path = os.path.join(
+        ckpt, f"stat_inputs_n{n_prompts}_t{text_min}-{text_max}_"
+        f"new{n_new}_s{seed}.npz")
+    if os.path.exists(path):
+        blob = np.load(path)
+        return blob["ids"], blob["lens"], blob["pixels"], path
+    rng = np.random.default_rng(seed)
+    W = text_max + n_new
+    ids = np.full((n_prompts, W), 0, np.int32)
+    lens = rng.integers(text_min, text_max + 1, size=n_prompts)
+    for i in range(n_prompts):
+        row = rng.integers(4, cfg.llama.vocab_size - 4, size=lens[i])
+        ids[i, :lens[i]] = row
+        ids[i, 1] = IMAGE_TOKEN_INDEX
+    pixels = rng.normal(size=(
+        n_prompts, 3, cfg.vit.image_size, cfg.vit.image_size)
+    ).astype(np.float32)
+    np.savez(path, ids=ids, lens=lens.astype(np.int32), pixels=pixels)
+    return ids, lens.astype(np.int32), pixels, path
+
+
+def stat_positions(lens, nq, n_new):
+    """(N, n_new+1) spliced positions whose logits predict trajectory
+    token j (and one final continuation position)."""
+    import numpy as np
+
+    sp = lens.astype(np.int64) - 1 + nq  # spliced prompt length
+    return sp[:, None] - 1 + np.arange(n_new + 1)[None, :]
+
+
+def stat_make_trajectories(ckpt, cfg, ids, lens, pixels, n_new):
+    """bf16 serving-engine greedy trajectories (the shared teacher-forcing
+    token sequences). Cached; EOS-terminated rows are padded with token 1
+    (still well-defined teacher-forced inputs)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    path = os.path.join(ckpt, f"stat_traj_n{ids.shape[0]}_new{n_new}.npz")
+    if os.path.exists(path):
+        return np.load(path)["tokens"], path
+
+    from lhrs_bot_tpu.core.model_io import load_pretrained
+    from lhrs_bot_tpu.serve.engine import GenerationConfig, GenerationEngine
+
+    params = load_pretrained(
+        cfg, model_path=os.path.join(ckpt, "FINAL.pt"),
+        vit_path=os.path.join(ckpt, "clip"),
+        llama_path=os.path.join(ckpt, "llama"))
+    nq = cfg.pooler.num_query
+    engine = GenerationEngine(
+        cfg, params, max_seq_len=int(ids.shape[1] + nq + n_new + 8),
+        compute_dtype=jnp.bfloat16, cache_dtype=jnp.int8)
+    del params
+    gc.collect()
+    gen_cfg = GenerationConfig(max_new_tokens=n_new, do_sample=False,
+                               eos_token_id=int(cfg.llama.eos_token_id))
+    tokens = np.ones((ids.shape[0], n_new), np.int32)
+    for i in range(ids.shape[0]):
+        out = engine.generate(
+            ids[i:i + 1], np.asarray([lens[i]], "int32"),
+            images=pixels[i:i + 1], gen_cfg=gen_cfg)[0]
+        tokens[i, :len(out)] = np.asarray(out[:n_new], np.int32)
+    del engine
+    gc.collect()
+    np.savez(path, tokens=tokens)
+    return tokens, path
+
+
+def _ext_ids(ids, lens, traj):
+    """prompt + trajectory, right-padded in place; ext valid lengths."""
+    import numpy as np
+
+    n, W = ids.shape
+    n_new = traj.shape[1]
+    ext = np.zeros((n, W + n_new), ids.dtype)
+    ext[:, :W] = ids
+    for i in range(n):
+        ext[i, lens[i]:lens[i] + n_new] = traj[i]
+    return ext, lens + n_new
+
+
+def stat_run_ours_config(ckpt, cfg, name, ids, lens, pixels, traj, *,
+                         quantize, compute_dtype, cache_dtype):
+    """One teacher-forced forward per prompt through OUR deployed stack;
+    full logits at the decode positions → stat_logits_<name>.npz."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from lhrs_bot_tpu.core.model_io import load_pretrained
+    from lhrs_bot_tpu.models.llama import llama_apply
+    from lhrs_bot_tpu.models.vlm import prepare_multimodal_inputs
+    from lhrs_bot_tpu.serve.engine import GenerationEngine
+
+    path = os.path.join(ckpt, f"stat_logits_{name}.npz")
+    if os.path.exists(path):
+        return path
+    n_new = traj.shape[1]
+    nq = cfg.pooler.num_query
+    ext, ext_lens = _ext_ids(ids, lens, traj)
+    positions = stat_positions(lens, nq, n_new)
+
+    params = load_pretrained(
+        cfg, model_path=os.path.join(ckpt, "FINAL.pt"),
+        vit_path=os.path.join(ckpt, "clip"),
+        llama_path=os.path.join(ckpt, "llama"))
+    # the engine is used purely as the deployed-precision weight
+    # preparation (LoRA merge at stage 0 happened in load_pretrained;
+    # quantize_bits/vision_w8a8 here) — generation machinery is not used
+    engine = GenerationEngine(
+        cfg, params, max_seq_len=int(ext.shape[1] + nq + 8),
+        compute_dtype=compute_dtype,
+        cache_dtype=cache_dtype or compute_dtype,
+        quantize_bits=8 if quantize else None,
+        vision_w8a8=bool(quantize) and jax.default_backend() == "tpu")
+    del params
+    gc.collect()
+
+    @jax.jit
+    def fwd(vision_params, llama_params, vision_packed, row_ids, px, mask,
+            pos):
+        spliced = prepare_multimodal_inputs(
+            vision_params, cfg, input_ids=row_ids, images=px,
+            attention_mask=mask, compute_dtype=compute_dtype,
+            llama_params=llama_params, vision_packed=vision_packed)
+        logits = llama_apply(
+            llama_params, cfg.llama,
+            inputs_embeds=spliced.inputs_embeds,
+            attention_mask=spliced.attention_mask,
+            compute_dtype=compute_dtype)
+        return jnp.take(logits[0], pos, axis=0)
+
+    out = np.zeros((ids.shape[0], n_new + 1, cfg.llama.vocab_size),
+                   np.float32)
+    mask_w = ext.shape[1]
+    for i in range(ids.shape[0]):
+        mask = (np.arange(mask_w) < ext_lens[i])[None, :]
+        out[i] = np.asarray(fwd(
+            engine.params, engine.llama_params, engine._vision_packed,
+            jnp.asarray(ext[i:i + 1]), jnp.asarray(pixels[i:i + 1]),
+            jnp.asarray(mask), jnp.asarray(positions[i])), np.float32)
+    del engine
+    gc.collect()
+    np.savez(path, logits=out)
+    return path
+
+
+def stat_run_torch_config(ckpt, cfg, name, ids, lens, pixels, traj,
+                          torch_dtype_name):
+    """Teacher-forced logits through the reference-assembled torch
+    pipeline at the given dtype (bf16 = the reference's deployed eval
+    precision, multi_modal_eval.yaml:80)."""
+    import numpy as np
+    import torch
+
+    path = os.path.join(ckpt, f"stat_logits_{name}.npz")
+    if os.path.exists(path):
+        return path
+    from lhrs_bot_tpu.models.constants import IMAGE_TOKEN_INDEX
+
+    dt = {"bf16": torch.bfloat16, "f32": torch.float32}[torch_dtype_name]
+    n_new = traj.shape[1]
+    nq = cfg.pooler.num_query
+    ext, ext_lens = _ext_ids(ids, lens, traj)
+    positions = stat_positions(lens, nq, n_new)
+
+    hf_vit, pooler, llama = _assemble_torch_reference(ckpt, cfg)
+    hf_vit = hf_vit.to(dt)
+    pooler = pooler.to(dt)
+    llama = llama.to(dt)
+
+    out = np.zeros((ids.shape[0], n_new + 1, cfg.llama.vocab_size),
+                   np.float32)
+    with torch.no_grad():
+        for i in range(ids.shape[0]):
+            vout = hf_vit(torch.from_numpy(pixels[i:i + 1]).to(dt),
+                          output_hidden_states=True)
+            feats = torch.cat(
+                [vout.hidden_states[s][:, 1:, :]
+                 for s in cfg.vit.extract_stages], dim=1)
+            img_embs = pooler(feats)
+            row = torch.from_numpy(
+                ext[i, :ext_lens[i]].astype(np.int64))
+            pos = int((row == IMAGE_TOKEN_INDEX).nonzero()[0])
+            emb_layer = llama.get_input_embeddings()
+            spliced = torch.cat(
+                [emb_layer(row[:pos]), img_embs[0],
+                 emb_layer(row[pos + 1:])], dim=0)[None]
+            logits = llama(inputs_embeds=spliced).logits[0]
+            out[i] = logits[torch.from_numpy(positions[i])].float().numpy()
+    del hf_vit, pooler, llama
+    gc.collect()
+    np.savez(path, logits=out)
+    return path
+
+
+def _assemble_torch_reference(ckpt, cfg):
+    """The model-assembly half of run_torch_reference (f32 master copies;
+    callers cast)."""
+    import numpy as np
+    import torch
+
+    from transformers import CLIPVisionModel, LlamaForCausalLM
+
+    final = torch.load(os.path.join(ckpt, "FINAL.pt"), map_location="cpu",
+                       weights_only=False)
+    hf_vit = CLIPVisionModel.from_pretrained(
+        os.path.join(ckpt, "clip"), torch_dtype=torch.float32).eval()
+    rgb_sd = {k[len("encoder."):]: v.to(torch.float32)
+              for k, v in final["rgb_ckpt"].items()}
+    missing, _ = hf_vit.load_state_dict(rgb_sd, strict=False)
+    assert not [m for m in missing if "position_ids" not in m], missing
+
+    pooler = TorchPooler(cfg.pooler).eval()
+    pool_sd = {k: v.to(torch.float32)
+               for k, v in final["other_ckpt"]["rgb_pooler"].items()}
+    missing, _ = pooler.load_state_dict(pool_sd, strict=False)
+    assert not missing, missing
+
+    llama = LlamaForCausalLM.from_pretrained(
+        os.path.join(ckpt, "llama"), torch_dtype=torch.float32).eval()
+    emb = final["other_ckpt"]["embed_tokens"].get("weight")
+    if emb is not None:
+        if emb.shape[0] != llama.get_input_embeddings().weight.shape[0]:
+            llama.resize_token_embeddings(emb.shape[0])
+        with torch.no_grad():
+            llama.get_input_embeddings().weight.copy_(emb.to(torch.float32))
+    lora_dir = os.path.join(ckpt, "TextLoRA")
+    if os.path.isdir(lora_dir):
+        with open(os.path.join(lora_dir, "adapter_config.json")) as fh:
+            ac = json.load(fh)
+        scale = ac["lora_alpha"] / ac["r"]
+        sd = torch.load(os.path.join(lora_dir, "adapter_model.bin"),
+                        map_location="cpu", weights_only=False)
+        with torch.no_grad():
+            for key, a in sd.items():
+                if not key.endswith("lora_A.weight"):
+                    continue
+                b = sd[key.replace("lora_A", "lora_B")]
+                mod_path = key[len("base_model.model."):
+                               -len(".lora_A.weight")]
+                mod = llama.get_submodule(mod_path)
+                mod.weight += scale * (b.to(torch.float32)
+                                       @ a.to(torch.float32))
+        del sd
+    del final
+    gc.collect()
+    return hf_vit, pooler, llama
+
+
+def stat_compare(ref, cmp):
+    """ref/cmp: (N, P, V) f32 logits. Agreement + margin statistics.
+
+    Discriminator logic: for precision noise, P(flip | margin m) falls off
+    steeply in m, so agreement in the high-margin buckets → 1 and
+    max_flipped_margin stays small; a convention bug flips high-margin
+    positions too.
+    """
+    import numpy as np
+
+    n, p, v = ref.shape
+    r2 = ref.reshape(n * p, v)
+    c2 = cmp.reshape(n * p, v)
+    am_r = r2.argmax(-1)
+    am_c = c2.argmax(-1)
+    agree = am_r == am_c
+
+    top5_r = np.argpartition(r2, -5, axis=-1)[:, -5:]
+    top5_c = np.argpartition(c2, -5, axis=-1)[:, -5:]
+    overlap = np.array(
+        [len(set(a.tolist()) & set(b.tolist()))
+         for a, b in zip(top5_r, top5_c)])
+
+    part = np.partition(r2, -2, axis=-1)
+    margin = part[:, -1] - part[:, -2]  # ref top1 - top2
+
+    # per-position perturbation scale: |Δlogit| at the ref-top1 token
+    d_at_top1 = np.abs(np.take_along_axis(c2, am_r[:, None], 1)
+                       - np.take_along_axis(r2, am_r[:, None], 1))[:, 0]
+
+    def rate(mask):
+        return (round(float(agree[mask].mean()), 4)
+                if mask.any() else None)
+
+    buckets = {}
+    for lo, hi in ((0.0, 0.5), (0.5, 1.0), (1.0, 2.0), (2.0, 4.0),
+                   (4.0, float("inf"))):
+        m = (margin >= lo) & (margin < hi)
+        buckets[f"margin_{lo}_{hi}"] = {
+            "n": int(m.sum()), "agree_rate": rate(m)}
+    flipped = ~agree
+    qs = [10, 25, 50, 75, 90]
+    return {
+        "points": int(n * p),
+        "top1_agree_rate": round(float(agree.mean()), 4),
+        "top5_overlap_mean": round(float(overlap.mean()), 3),
+        "ref_margin_pct": {f"p{q}": round(float(np.percentile(margin, q)),
+                                          3) for q in qs},
+        "delta_at_top1_pct": {
+            f"p{q}": round(float(np.percentile(d_at_top1, q)), 4)
+            for q in qs},
+        "agree_by_margin": buckets,
+        "max_flipped_margin": (round(float(margin[flipped].max()), 3)
+                               if flipped.any() else 0.0),
+        "n_flipped": int(flipped.sum()),
+    }
+
+
+def run_statistical(args, cfg):
+    """Drive the statistical mode for the configs requested in THIS
+    process; emit/merge the 'statistical' report section from whatever
+    config artifacts exist on disk."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    n = args.statistical
+    n_new = args.new_tokens
+    ids, lens, pixels, _ = stat_inputs(
+        args.ckpt, cfg, n, args.stat_text_min, args.stat_text_max, n_new)
+
+    wanted = [c.strip() for c in args.configs.split(",") if c.strip()]
+    report = {"n_prompts": n, "positions_per_prompt": n_new + 1,
+              "text_len_range": [args.stat_text_min, args.stat_text_max],
+              "spliced_ctx_range": [
+                  int(lens.min()) - 1 + cfg.pooler.num_query,
+                  int(lens.max()) - 1 + cfg.pooler.num_query]}
+
+    ours = {"bf16": dict(quantize=False, compute_dtype=jnp.bfloat16,
+                         cache_dtype=jnp.int8),
+            "int8": dict(quantize=True, compute_dtype=jnp.bfloat16,
+                         cache_dtype=jnp.int8),
+            "f32": dict(quantize=False, compute_dtype=jnp.float32,
+                        cache_dtype=jnp.float32)}
+
+    traj_path = os.path.join(args.ckpt, f"stat_traj_n{n}_new{n_new}.npz")
+    if not os.path.exists(traj_path) and not any(
+            c in ours and c != "f32" for c in wanted):
+        raise SystemExit(
+            "statistical mode: stat_traj missing — run the TPU/bf16 phase "
+            "first (--configs bf16,int8) to generate trajectories")
+    if any(c in ours and c != "f32" for c in wanted) \
+            or os.path.exists(traj_path):
+        traj, _ = stat_make_trajectories(args.ckpt, cfg, ids, lens, pixels,
+                                         n_new)
+
+    for c in wanted:
+        t0 = time.time()
+        try:
+            if c in ours:
+                stat_run_ours_config(args.ckpt, cfg, c, ids, lens, pixels,
+                                     traj, **ours[c])
+            elif c.startswith("torch_"):
+                stat_run_torch_config(args.ckpt, cfg, c, ids, lens, pixels,
+                                      traj, c[len("torch_"):])
+            else:
+                raise ValueError(f"unknown statistical config {c!r}")
+            report[f"{c}_run_s"] = round(time.time() - t0, 1)
+        except Exception as exc:  # noqa: BLE001 — keep earlier configs
+            report[f"{c}_error"] = str(exc)[:300]
+
+    # comparisons from whatever artifacts exist
+    def load(name):
+        p = os.path.join(args.ckpt, f"stat_logits_{name}.npz")
+        return np.load(p)["logits"] if os.path.exists(p) else None
+
+    f32 = load("f32")
+    if f32 is not None:
+        for c in ("bf16", "int8", "torch_bf16", "torch_f32"):
+            arr = load(c)
+            if arr is not None:
+                report[f"{c}_vs_f32"] = stat_compare(f32, arr)
+    bf16_ours, tb = load("bf16"), load("torch_bf16")
+    if bf16_ours is not None and tb is not None:
+        # the null model: our bf16 should deviate from torch-bf16 no more
+        # than two independent bf16 implementations deviate from each other
+        report["bf16_vs_torch_bf16"] = stat_compare(tb, bf16_ours)
+
+    return {"statistical": report}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
@@ -360,6 +772,14 @@ def main():
         "configs then quantify precision loss separately.")
     ap.add_argument("--out", default=None,
                     help="write/merge the JSON here too")
+    ap.add_argument("--statistical", type=int, default=0,
+                    help="N>0: statistical deployed-precision mode — N "
+                    "prompts x (new-tokens+1) teacher-forced positions; "
+                    "configs may include torch_bf16/torch_f32. Run the "
+                    "TPU configs first (trajectories), then --cpu for "
+                    "f32; artifacts cache in the ckpt dir.")
+    ap.add_argument("--stat-text-min", type=int, default=24)
+    ap.add_argument("--stat-text-max", type=int, default=96)
     args = ap.parse_args()
 
     if args.cpu:
@@ -374,6 +794,27 @@ def main():
     from lhrs_bot_tpu.models.constants import IMAGE_TOKEN_INDEX
 
     cfg = build_vlm_config(args.ckpt)
+
+    if args.statistical > 0:
+        report = run_statistical(args, cfg)
+        if args.out and os.path.exists(args.out):
+            try:
+                with open(args.out) as fh:
+                    merged = json.load(fh)
+                # deep-merge the statistical section so TPU/CPU phases
+                # accumulate into one report
+                old = merged.get("statistical", {})
+                old.update(report["statistical"])
+                merged["statistical"] = old
+                report = merged
+            except Exception:  # noqa: BLE001 — unreadable -> overwrite
+                pass
+        line = json.dumps(report)
+        print(line)
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(line + "\n")
+        return
     nq = cfg.pooler.num_query
     t_prompt = max(4, args.ctx - nq + 1)
     rng = np.random.default_rng(0)
