@@ -34,32 +34,39 @@ H, D = cfg.num_attention_heads, cfg.head_dim
 STEPS = 32
 
 
-def qinit(key, shape):
-    f = jax.jit(lambda k: quantize_int8(
+def qinit(key, shape, bits=8):
+    from lhrs_bot_tpu.ops.quant import quantize_int4h
+
+    qfn = quantize_int8 if bits == 8 else quantize_int4h
+    f = jax.jit(lambda k: qfn(
         jax.random.normal(k, shape, jnp.bfloat16) * 0.02, axis=1))
     out = f(key)
     jax.block_until_ready(out.q)
     return out
 
 
-def make_params():
+def make_params(bits=8, lm8=False):
     keys = jax.random.split(jax.random.PRNGKey(0), 10)
+    lm_head = jax.random.normal(keys[8], (d, V), jnp.bfloat16) * 0.02
+    if lm8:
+        lm_head = jax.block_until_ready(
+            jax.jit(lambda w: quantize_int8(w, axis=0))(lm_head))
     return {
         "embed_tokens": jax.random.normal(keys[0], (V, d),
                                           jnp.bfloat16) * 0.02,
         "layers": {
             "input_norm": jnp.ones((L, d), jnp.bfloat16),
-            "wq": qinit(keys[1], (L, d, d)),
-            "wk": qinit(keys[2], (L, d, d)),
-            "wv": qinit(keys[3], (L, d, d)),
-            "wo": qinit(keys[4], (L, d, d)),
+            "wq": qinit(keys[1], (L, d, d), bits),
+            "wk": qinit(keys[2], (L, d, d), bits),
+            "wv": qinit(keys[3], (L, d, d), bits),
+            "wo": qinit(keys[4], (L, d, d), bits),
             "post_attn_norm": jnp.ones((L, d), jnp.bfloat16),
-            "w_gate": qinit(keys[5], (L, d, ffn)),
-            "w_up": qinit(keys[6], (L, d, ffn)),
-            "w_down": qinit(keys[7], (L, ffn, d)),
+            "w_gate": qinit(keys[5], (L, d, ffn), bits),
+            "w_up": qinit(keys[6], (L, d, ffn), bits),
+            "w_down": qinit(keys[7], (L, ffn, d), bits),
         },
         "final_norm": jnp.ones((d,), jnp.bfloat16),
-        "lm_head": jax.random.normal(keys[8], (d, V), jnp.bfloat16) * 0.02,
+        "lm_head": lm_head,
     }
 
 
@@ -131,35 +138,45 @@ def attn_scan(cache0, q, L0, B, kernel_kwargs=None):
 
 def main():
     B, SMAX, L0 = 1, 2304, 2192
-    params = make_params()
-    w_bytes = (sum(int(np.prod(s)) for s in
-                   [(L, d, d)] * 4 + [(L, d, ffn)] * 2 + [(L, ffn, d)])
-               + V * d * 2 * 2)  # int8 mats + bf16 embed+head
+    mat_elems = sum(int(np.prod(s)) for s in
+                    [(L, d, d)] * 4 + [(L, d, ffn)] * 2 + [(L, ffn, d)])
     kv_bytes = L * B * H * (L0 + STEPS // 2) * D * 2  # int8 k+v
     sc_bytes = L * B * H * (L0 + STEPS // 2) * 4 * 2
 
     report = {}
-
-    run = jax.jit(lambda p, c, t: decode_scan(p, c, t, L0, B),
-                  donate_argnums=(1,))
     tok0 = jnp.zeros((B,), jnp.int32)
-    dt = time_step(run, params, int8_cache(B, SMAX), tok0)
-    report["total_ms"] = dt * 1e3
-    report["total_eff_gbs"] = (w_bytes + kv_bytes + sc_bytes) / dt / 1e9
-    print(f"total: {dt*1e3:.2f} ms/step "
-          f"({(w_bytes+kv_bytes+sc_bytes)/dt/1e9:.0f} GB/s eff, "
-          f"{1/dt:.1f} tok/s)", flush=True)
+
+    def wbytes(bits, lm8):
+        return (mat_elems // (1 if bits == 8 else 2)
+                + V * d * (2 + (1 if lm8 else 2)))  # embed bf16 + head
+
+    def run_total(tag, params, bits, lm8):
+        wb = wbytes(bits, lm8)
+        run = jax.jit(lambda p, c, t: decode_scan(p, c, t, L0, B),
+                      donate_argnums=(1,))
+        dt = time_step(run, params, int8_cache(B, SMAX), tok0)
+        report[f"{tag}_ms"] = dt * 1e3
+        report[f"{tag}_tok_s"] = 1 / dt
+        report[f"{tag}_eff_gbs"] = (wb + kv_bytes + sc_bytes) / dt / 1e9
+        print(f"{tag}: {dt*1e3:.2f} ms/step "
+              f"({(wb+kv_bytes+sc_bytes)/dt/1e9:.0f} GB/s eff, "
+              f"{1/dt:.1f} tok/s)", flush=True)
+        return run
+
+    # -- config 1: int8 weights, bf16 lm_head (r3 comparable) --------------
+    params = make_params()
+    run_total("total_w8", params, 8, False)
 
     # weights-only: tiny cache (attention+append traffic ~2 MB/step)
     run_w = jax.jit(lambda p, c, t: decode_scan(p, c, t, 8, B),
                     donate_argnums=(1,))
     dt_w = time_step(run_w, params, int8_cache(B, 64), tok0)
     report["weights_ms"] = dt_w * 1e3
-    report["weights_eff_gbs"] = w_bytes / dt_w / 1e9
+    report["weights_eff_gbs"] = wbytes(8, False) / dt_w / 1e9
     print(f"weights-only (S=64): {dt_w*1e3:.2f} ms/step "
-          f"({w_bytes/dt_w/1e9:.0f} GB/s eff)", flush=True)
+          f"({wbytes(8, False)/dt_w/1e9:.0f} GB/s eff)", flush=True)
 
-    # attention-only at full context
+    # attention-only at full context (the r4 overlap kernel)
     q = jnp.ones((B, H, 1, D), jnp.bfloat16)
     run_a = jax.jit(lambda c, q: attn_scan(c, q, L0, B),
                     donate_argnums=(0,))
@@ -168,12 +185,21 @@ def main():
     report["attn_eff_gbs"] = (kv_bytes + sc_bytes) / dt_a / 1e9
     print(f"attention-only: {dt_a*1e3:.2f} ms/step "
           f"({(kv_bytes+sc_bytes)/dt_a/1e9:.0f} GB/s eff)", flush=True)
+    del params
 
-    print("ideal @820GB/s:",
-          f"weights {w_bytes/820e9*1e3:.2f} ms,",
-          f"attn {(kv_bytes+sc_bytes)/820e9*1e3:.2f} ms,",
-          f"sum {(w_bytes+kv_bytes+sc_bytes)/820e9*1e3:.2f} ms "
-          f"({820e9*1/(w_bytes+kv_bytes+sc_bytes):.1f} tok/s)", flush=True)
+    # -- config 2: int8 weights + int8 lm_head ------------------------------
+    params = make_params(lm8=True)
+    run_total("total_w8_lm8", params, 8, True)
+    del params
+
+    # -- config 3: W4A8 halves-packed weights + int8 lm_head ----------------
+    params = make_params(bits="4h", lm8=True)
+    run_total("total_w4h_lm8", params, "4h", True)
+    del params
+
+    print("ideal @670GB/s measured wall (int8):",
+          f"weights {wbytes(8, True)/670e9*1e3:.2f} ms,",
+          f"attn {(kv_bytes+sc_bytes)/670e9*1e3:.2f} ms", flush=True)
     import json
     print(json.dumps({k: round(v, 2) for k, v in report.items()}))
 

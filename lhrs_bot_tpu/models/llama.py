@@ -67,6 +67,18 @@ def _dense(x: jnp.ndarray, w) -> jnp.ndarray:
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def _lm_head_logits(x: jnp.ndarray, lm_head, compute_dtype) -> jnp.ndarray:
+    """Unembedding → f32 logits. Accepts a bf16/f32 matrix or an int8
+    QuantizedTensor: decode is weight-bandwidth-bound and the bf16 lm_head
+    is 262 MB of the ~6.7 GB/step stream — int8 halves it. bf16 activations
+    x int8 weights (not W8A8): logits keep full activation precision and
+    the weight dequant folds into the f32 epilogue."""
+    if isinstance(lm_head, QuantizedTensor):
+        return quantized_matmul(x, lm_head, out_dtype=jnp.float32)
+    return jnp.dot(x, lm_head.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+
+
 def _proj(lp, name: str, x: jnp.ndarray) -> jnp.ndarray:
     """Projection with an optional runtime LoRA side path (QLoRA-style,
     used when the base weight is quantized and cannot be merged into):
@@ -343,8 +355,7 @@ def llama_apply(
     x, _ = jax.lax.scan(body, x, layers)
     x = rms_norm(x, params["final_norm"].astype(compute_dtype),
                  cfg.rms_norm_eps)
-    logits = jnp.dot(x, params["lm_head"].astype(compute_dtype),
-                     preferred_element_type=jnp.float32)
+    logits = _lm_head_logits(x, params["lm_head"], compute_dtype)
     return logits
 
 
@@ -429,8 +440,7 @@ def llama_prefill(
     last_idx = jnp.maximum(prompt_len - 1, 0)
     x_last = jnp.take_along_axis(
         x, last_idx[:, None, None].astype(jnp.int32), axis=1).squeeze(1)
-    logits = jnp.dot(x_last, params["lm_head"].astype(compute_dtype),
-                     preferred_element_type=jnp.float32)
+    logits = _lm_head_logits(x_last, params["lm_head"], compute_dtype)
     return logits, KVCache(new_k, new_v, prompt_len.astype(jnp.int32),
                            new_ks, new_vs)
 
@@ -527,14 +537,12 @@ def llama_prefill_continue(
                  cfg.rms_norm_eps)
     if return_all_logits:
         # speculative verify: logits at EVERY suffix position (W small)
-        logits = jnp.dot(x, params["lm_head"].astype(compute_dtype),
-                         preferred_element_type=jnp.float32)
+        logits = _lm_head_logits(x, params["lm_head"], compute_dtype)
     else:
         last = jnp.maximum(suffix_len - 1, 0)
         x_last = jnp.take_along_axis(
             x, last[:, None, None].astype(jnp.int32), axis=1).squeeze(1)
-        logits = jnp.dot(x_last, params["lm_head"].astype(compute_dtype),
-                         preferred_element_type=jnp.float32)
+        logits = _lm_head_logits(x_last, params["lm_head"], compute_dtype)
     return logits, KVCache(kc, vc, (start + suffix_len).astype(jnp.int32),
                            ks, vs)
 
@@ -681,6 +689,5 @@ def llama_decode_step(
             body, init, layers)
     x = rms_norm(x, params["final_norm"].astype(compute_dtype),
                  cfg.rms_norm_eps)
-    logits = jnp.dot(x[:, 0, :], params["lm_head"].astype(compute_dtype),
-                     preferred_element_type=jnp.float32)
+    logits = _lm_head_logits(x[:, 0, :], params["lm_head"], compute_dtype)
     return logits, KVCache(new_k, new_v, new_len, new_ks, new_vs)

@@ -227,13 +227,55 @@ def _kernel_q(layer_ref, len_ref, q_ref, kn_ref, kns_ref, vn_ref, vns_ref,
     """int8-cache variant: K/V rows are per-vector int8 with f32 scale
     planes (L, B, H, S). Dequantization folds into the online softmax —
     scores ·= k_scale, probs ·= v_scale — so cache HBM reads stay at
-    1 byte/element (decode's dominant traffic at long context)."""
+    1 byte/element (decode's dominant traffic at long context).
+
+    Overlap design (r4): nothing serializes behind the append RMW. The
+    RMW window loads AND the first attention block DMAs are all issued
+    at kernel entry; the appended row/scales are patched INTO THE VMEM
+    BLOCKS (so attention never orders against the HBM writeback), and
+    the writeback drains while attention streams. Blocks whose tail
+    would exceed S_max slide back (clamped start) with an
+    exact-coverage mask, so block_s need not divide S_max and
+    large-block DMAs (2.1 MB at block_s=512) keep the stream near the
+    measured DMA peak (benchmarks/hbm_peak_probe.py). Scale blocks stay
+    per-block double-buffered DMAs: Mosaic cannot vector.load a VMEM
+    plane at a dynamic LANE offset, so a hoisted full-plane copy is
+    unreadable in the loop (measured failure, r4)."""
     del kc_ref, vc_ref, ksc_ref, vsc_ref  # all access via aliased outputs
     b = pl.program_id(0)
     layer = layer_ref[0]
     length = len_ref[b]
+    h, _, d = q_ref.shape[1:]
+    s_max = ko_ref.shape[3]
+    n_valid = length + 1
+    nb = pl.cdiv(n_valid, block_s)
 
-    # ---- append: RMW aligned windows (int8 rows + f32 scale lanes) -------
+    # Mosaic must PROVE slice-offset tile alignment: i*block_s and
+    # s_max-block_s are both multiples of gcd(block_s, s_max), which is
+    # ≥128 for the real path (s_max is a 128-multiple by assertion,
+    # block_s defaults to 512) — enough for the f32 scale plane's lane
+    # tiling and the int8 rows' sublane tiling.
+    g = math.gcd(block_s, s_max)
+
+    def blk_start(i):
+        # clamp so the last block stays in bounds; re-read rows are
+        # excluded by the exact-coverage mask in the loop body
+        return pl.multiple_of(
+            jnp.minimum(i * block_s, s_max - block_s), g)
+
+    def dma(slot, blk, buf, src, sem):
+        return pltpu.make_async_copy(
+            src.at[pl.ds(layer, 1), pl.ds(b, 1), :,
+                   pl.ds(blk_start(blk), block_s), :],
+            buf.at[pl.ds(slot, 1)], sem.at[slot])
+
+    def dma_s(slot, blk, buf, src, sem):
+        return pltpu.make_async_copy(
+            src.at[pl.ds(layer, 1), pl.ds(b, 1), :,
+                   pl.ds(blk_start(blk), block_s)],
+            buf.at[pl.ds(slot, 1)], sem.at[slot])
+
+    # ---- phase 1: issue every independent DMA up front -------------------
     aligned = pl.multiple_of((length // windows) * windows, windows)
     s_aligned = pl.multiple_of((length // swin) * swin, swin)
     kwin_hbm = ko_ref.at[pl.ds(layer, 1), pl.ds(b, 1), :,
@@ -244,13 +286,20 @@ def _kernel_q(layer_ref, len_ref, q_ref, kn_ref, kns_ref, vn_ref, vns_ref,
                            pl.ds(s_aligned, swin)]
     vswin_hbm = vso_ref.at[pl.ds(layer, 1), pl.ds(b, 1), :,
                            pl.ds(s_aligned, swin)]
-    cps = [pltpu.make_async_copy(kwin_hbm, kwin, sem_w.at[0]),
-           pltpu.make_async_copy(vwin_hbm, vwin, sem_w.at[1]),
-           pltpu.make_async_copy(kswin_hbm, kswin, sem_w.at[2]),
-           pltpu.make_async_copy(vswin_hbm, vswin, sem_w.at[3])]
-    for cp in cps:
+    loads = [pltpu.make_async_copy(kwin_hbm, kwin, sem_w.at[0]),
+             pltpu.make_async_copy(vwin_hbm, vwin, sem_w.at[1]),
+             pltpu.make_async_copy(kswin_hbm, kswin, sem_w.at[2]),
+             pltpu.make_async_copy(vswin_hbm, vswin, sem_w.at[3])]
+    for cp in loads:
         cp.start()
-    for cp in cps:
+
+    dma(0, 0, kbuf, ko_ref, sem_k).start()
+    dma(0, 0, vbuf, vo_ref, sem_v).start()
+    dma_s(0, 0, ksbuf, kso_ref, sem_ks).start()
+    dma_s(0, 0, vsbuf, vso_ref, sem_vs).start()
+
+    # ---- phase 2: append RMW (windows persist the new row to HBM) --------
+    for cp in loads:
         cp.wait()
     row = length - aligned
     row_ids = jax.lax.broadcasted_iota(jnp.int32, kwin.shape, 3)
@@ -262,38 +311,17 @@ def _kernel_q(layer_ref, len_ref, q_ref, kn_ref, kns_ref, vn_ref, vns_ref,
                          kns_ref[0, :, 0][None, None, :, None], kswin[:])
     vswin[:] = jnp.where(s_ids == s_row,
                          vns_ref[0, :, 0][None, None, :, None], vswin[:])
-    cps = [pltpu.make_async_copy(kwin, kwin_hbm, sem_w.at[0]),
-           pltpu.make_async_copy(vwin, vwin_hbm, sem_w.at[1]),
-           pltpu.make_async_copy(kswin, kswin_hbm, sem_w.at[2]),
-           pltpu.make_async_copy(vswin, vswin_hbm, sem_w.at[3])]
-    for cp in cps:
+    stores = [pltpu.make_async_copy(kwin, kwin_hbm, sem_w.at[0]),
+              pltpu.make_async_copy(vwin, vwin_hbm, sem_w.at[1]),
+              pltpu.make_async_copy(kswin, kswin_hbm, sem_w.at[2]),
+              pltpu.make_async_copy(vswin, vswin_hbm, sem_w.at[3])]
+    for cp in stores:
         cp.start()
-    for cp in cps:
-        cp.wait()
 
-    # ---- attention over the valid prefix ---------------------------------
-    h, _, d = q_ref.shape[1:]
+    # ---- attention over the valid prefix ----------------------------------
     q = (q_ref[0, :, 0, :].astype(jnp.float32) * sm_scale).astype(
         jnp.bfloat16)  # (H, D)
-    n_valid = length + 1
-    nb = pl.cdiv(n_valid, block_s)
-
-    def dma(slot, blk, buf, src, sem):
-        return pltpu.make_async_copy(
-            src.at[pl.ds(layer, 1), pl.ds(b, 1), :,
-                   pl.ds(blk * block_s, block_s), :],
-            buf.at[pl.ds(slot, 1)], sem.at[slot])
-
-    def dma_s(slot, blk, buf, src, sem):
-        return pltpu.make_async_copy(
-            src.at[pl.ds(layer, 1), pl.ds(b, 1), :,
-                   pl.ds(blk * block_s, block_s)],
-            buf.at[pl.ds(slot, 1)], sem.at[slot])
-
-    dma(0, 0, kbuf, ko_ref, sem_k).start()
-    dma(0, 0, vbuf, vo_ref, sem_v).start()
-    dma_s(0, 0, ksbuf, kso_ref, sem_ks).start()
-    dma_s(0, 0, vsbuf, vso_ref, sem_vs).start()
+    pb = length // block_s  # block whose DMA may hold the stale row
 
     m0 = jnp.full((h, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((h, 1), jnp.float32)
@@ -302,6 +330,7 @@ def _kernel_q(layer_ref, len_ref, q_ref, kn_ref, kns_ref, vn_ref, vns_ref,
     def body(i, carry):
         m, l, acc = carry
         slot = jax.lax.rem(i, 2)
+        start = blk_start(i)
 
         @pl.when(i + 1 < nb)
         def _():
@@ -317,15 +346,31 @@ def _kernel_q(layer_ref, len_ref, q_ref, kn_ref, kns_ref, vn_ref, vns_ref,
         pltpu.make_async_copy(ksbuf.at[pl.ds(slot, 1)],
                               ksbuf.at[pl.ds(slot, 1)],
                               sem_ks.at[slot]).wait()
+
+        for sl in (0, 1):
+            @pl.when((i == pb) & (slot == sl))
+            def _(sl=sl):
+                # the appended row may predate the writeback in this
+                # block's DMA — patch it from the kernel input
+                rid = jax.lax.broadcasted_iota(
+                    jnp.int32, kbuf.shape[1:], 2) + start
+                kbuf[sl] = jnp.where(rid == length, kn_ref[:], kbuf[sl])
+
         k = kbuf[slot, 0].astype(jnp.bfloat16)  # (H, BS, D)
         s = jax.lax.dot_general(
             q[:, None, :], k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)[:, 0, :]  # (H, BS)
-        s = s * ksbuf[slot, 0]  # fold per-position K scales
-        col = i * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, _NEG_INF)
+        col = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        # per-position K scales; col==length only in block pb — the
+        # branch-free where doubles as the appended-scale patch (the
+        # block's DMA may have raced the scale-window writeback)
+        ks_blk = jnp.where(col == length, kns_ref[0, :, 0][:, None],
+                           ksbuf[slot, 0])
+        s = s * ks_blk
+        # exact coverage: clamped blocks re-read rows the previous block
+        # already processed — mask them out along with the invalid tail
+        s = jnp.where((col >= i * block_s) & (col < n_valid), s, _NEG_INF)
 
         new_m = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - new_m)
@@ -337,8 +382,18 @@ def _kernel_q(layer_ref, len_ref, q_ref, kn_ref, kns_ref, vn_ref, vns_ref,
         pltpu.make_async_copy(vsbuf.at[pl.ds(slot, 1)],
                               vsbuf.at[pl.ds(slot, 1)],
                               sem_vs.at[slot]).wait()
+
+        for sl in (0, 1):
+            @pl.when((i == pb) & (slot == sl))
+            def _(sl=sl):
+                rid = jax.lax.broadcasted_iota(
+                    jnp.int32, vbuf.shape[1:], 2) + start
+                vbuf[sl] = jnp.where(rid == length, vn_ref[:], vbuf[sl])
+
         v = vbuf[slot, 0].astype(jnp.bfloat16)  # (H, BS, D)
-        p_scaled = (p * vsbuf[slot, 0]).astype(jnp.bfloat16)
+        vs_blk = jnp.where(col == length, vns_ref[0, :, 0][:, None],
+                           vsbuf[slot, 0])
+        p_scaled = (p * vs_blk).astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
             p_scaled[:, None, :], v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -348,6 +403,8 @@ def _kernel_q(layer_ref, len_ref, q_ref, kn_ref, kns_ref, vn_ref, vns_ref,
         return new_m, l, acc
 
     m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
+    for cp in stores:  # drain the append writeback
+        cp.wait()
     out_ref[0, :, 0, :] = (acc / l).astype(out_ref.dtype)
 
 
@@ -368,22 +425,24 @@ def fused_decode_attention_q(
     layer: jnp.ndarray,    # () int32
     *,
     sm_scale: Optional[float] = None,
-    block_s: int = 256,
+    block_s: int = 512,
     interpret: bool = False,
     vmem_limit: Optional[int] = None,
 ):
     """int8-cache fused append+attention; returns (attn_out, k_cache,
-    v_cache, k_scale, v_scale) with the caches aliased in place."""
+    v_cache, k_scale, v_scale) with the caches aliased in place.
+
+    block_s need not divide S: out-of-range tails slide the block start
+    back (exact-coverage mask in the kernel), so the DMA granularity
+    stays at the measured-efficient ~2 MB regardless of cache length."""
     nl, bsz, h, s, d = k_cache.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
     block_s = min(block_s, s)
-    while block_s > 8 and s % block_s:
-        block_s //= 2
-    assert s % block_s == 0, (s, block_s)
     windows = 32  # int8 sublane tile
     swin = 128   # scale-plane lane tile
     assert s % windows == 0 and s % swin == 0, (s,)
+    assert block_s % windows == 0, (block_s, windows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # layer, lengths

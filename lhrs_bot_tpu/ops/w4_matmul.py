@@ -42,9 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(layer_ref, xlo_ref, xhi_ref, xs_ref, w_ref, ws_ref, out_ref):
     del layer_ref  # consumed by the BlockSpec index maps
-    w = w_ref[0]  # (K2, NB) int8, two nibbles per byte
-    lo = (w << 4) >> 4          # sign-extended low nibble: rows [0, K/2)
-    hi = w >> 4                 # arithmetic shift: rows [K/2, K)
+    # Mosaic cannot legalize i8-vector shifts (arith.shli on vector<i8>
+    # fails); widen to i32, shift, and narrow back — the VPU unpack cost
+    # (~2 us/1 MB block) hides under the ~2.5 us block DMA.
+    w32 = w_ref[0].astype(jnp.int32)  # (K2, NB), two nibbles per byte
+    lo = ((w32 << 28) >> 28).astype(jnp.int8)  # sign-extended rows [0, K/2)
+    hi = (w32 >> 4).astype(jnp.int8)           # arithmetic: rows [K/2, K)
     acc = jax.lax.dot_general(
         xlo_ref[...], lo, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -102,6 +105,11 @@ def w4a8_matmul_stacked(
         _kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        # the i32-widened unpack intermediates exceed the default 16 MB
+        # scoped-vmem limit at (5504, 512) blocks — raise it (the kernel
+        # peaks at ~20 MB live)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1),
       xq_lo, xq_hi, x_scale.astype(jnp.float32),

@@ -638,11 +638,14 @@ class TestFusedDecodeAttentionQ:
         kn, kns4 = quantize_activation(kn_f)
         vn, vns4 = quantize_activation(vn_f)
 
-        for layer in (0, 1):
+        # block_s=96 does not divide S=128: exercises the clamped last
+        # block (slid-back start + exact-coverage mask) the r4 kernel
+        # uses to keep large DMA granularity at any cache length
+        for layer, block_s in ((0, 32), (1, 32), (0, 96), (1, 96)):
             out, k2, v2, ks2, vs2 = fused_decode_attention_q(
                 q, kn, kns4[..., 0], vn, vns4[..., 0],
                 kc, vc, ks, vs, lens, jnp.int32(layer),
-                interpret=True, block_s=32)
+                interpret=True, block_s=block_s)
             kr = _write_at(kc[layer], kn, lens)
             vr = _write_at(vc[layer], vn, lens)
             ksr = _write_scale_at(ks[layer], kns4[:, :, :, 0], lens)
