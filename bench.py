@@ -38,8 +38,11 @@ def bench_decode():
 
     cfg = LlamaConfig.llama2_7b()
 
-    def qinit(key, shape):
-        f = jax.jit(lambda k: quantize_int8(
+    def qinit(key, shape, bits=8):
+        from lhrs_bot_tpu.ops.quant import quantize_int4h
+
+        qfn = quantize_int8 if bits == 8 else quantize_int4h
+        f = jax.jit(lambda k: qfn(
             jax.random.normal(k, shape, jnp.bfloat16) * 0.02, axis=1))
         out = f(key)
         jax.block_until_ready(out.q)
@@ -47,25 +50,35 @@ def bench_decode():
 
     d, ffn, L, V = (cfg.hidden_size, cfg.intermediate_size,
                     cfg.num_hidden_layers, cfg.vocab_size)
-    keys = jax.random.split(jax.random.PRNGKey(0), 10)
-    params = {
-        "embed_tokens": jax.random.normal(keys[0], (V, d), jnp.bfloat16) * 0.02,
-        "layers": {
-            "input_norm": jnp.ones((L, d), jnp.bfloat16),
-            "wq": qinit(keys[1], (L, d, d)),
-            "wk": qinit(keys[2], (L, d, d)),
-            "wv": qinit(keys[3], (L, d, d)),
-            "wo": qinit(keys[4], (L, d, d)),
-            "post_attn_norm": jnp.ones((L, d), jnp.bfloat16),
-            "w_gate": qinit(keys[5], (L, d, ffn)),
-            "w_up": qinit(keys[6], (L, d, ffn)),
-            "w_down": qinit(keys[7], (L, ffn, d)),
-        },
-        "final_norm": jnp.ones((d,), jnp.bfloat16),
-        "lm_head": jax.random.normal(keys[8], (d, V), jnp.bfloat16) * 0.02,
-    }
 
-    def measure(B, SMAX, L0, steps=64, reps=3, cache_dtype=jnp.bfloat16):
+    def make_params(bits=8, lm8=False):
+        keys = jax.random.split(jax.random.PRNGKey(0), 10)
+        lm_head = jax.random.normal(keys[8], (d, V), jnp.bfloat16) * 0.02
+        if lm8:  # int8 unembedding (lm_head_bits: 8)
+            lm_head = jax.block_until_ready(
+                jax.jit(lambda w: quantize_int8(w, axis=0))(lm_head))
+        return {
+            "embed_tokens": jax.random.normal(
+                keys[0], (V, d), jnp.bfloat16) * 0.02,
+            "layers": {
+                "input_norm": jnp.ones((L, d), jnp.bfloat16),
+                "wq": qinit(keys[1], (L, d, d), bits),
+                "wk": qinit(keys[2], (L, d, d), bits),
+                "wv": qinit(keys[3], (L, d, d), bits),
+                "wo": qinit(keys[4], (L, d, d), bits),
+                "post_attn_norm": jnp.ones((L, d), jnp.bfloat16),
+                "w_gate": qinit(keys[5], (L, d, ffn), bits),
+                "w_up": qinit(keys[6], (L, d, ffn), bits),
+                "w_down": qinit(keys[7], (L, ffn, d), bits),
+            },
+            "final_norm": jnp.ones((d,), jnp.bfloat16),
+            "lm_head": lm_head,
+        }
+
+    params = make_params()
+
+    def measure(B, SMAX, L0, steps=64, reps=3, cache_dtype=jnp.bfloat16,
+                params=None):
         """Pure decode: pre-filled cache of L0 valid tokens, `steps` fused
         decode steps in one lax.scan dispatch, donated cache (in-place).
         cache_dtype=int8 exercises the quantized cache (halved HBM reads;
@@ -119,7 +132,7 @@ def bench_decode():
         return steps * B / min(times)
 
     # headline: full parity context (2048 text + 144 image tokens filled)
-    full_ctx = measure(B=1, SMAX=2304, L0=2192)
+    full_ctx = measure(B=1, SMAX=2304, L0=2192, params=params)
     extra = {}
     for key, kwargs in (
         ("decode_b2_s2304_total_tok_s", dict(B=2, SMAX=2304, L0=2192)),
@@ -135,7 +148,27 @@ def bench_decode():
          dict(B=7, SMAX=2304, L0=2192, cache_dtype=jnp.int8)),
     ):
         try:
-            extra[key] = round(measure(**kwargs), 2)
+            extra[key] = round(measure(params=params, **kwargs), 2)
+        except Exception as exc:  # noqa: BLE001 — keep earlier numbers
+            extra[key] = f"error: {str(exc)[:120]}"
+
+    # Weight-variant points: one 7B weight set on chip at a time (the base
+    # int8 set + a variant + a full-context cache would crowd 16 GB HBM).
+    del params
+    for key, maker in (
+        # lm_head_bits: 8 — int8 unembedding on top of the headline config
+        ("decode_b1_s2304_int8cache_lm8_tok_s",
+         lambda: make_params(lm8=True)),
+        # bits: 4 int4h serving recipe (Pallas W4A8 matmul): weights halve
+        # again — past the int8 HBM read-wall cap (~88 tok/s at 670 GB/s)
+        ("decode_b1_s2304_w4a8_lm8_tok_s",
+         lambda: make_params(bits="4h", lm8=True)),
+    ):
+        try:
+            p = maker()
+            extra[key] = round(measure(B=1, SMAX=2304, L0=2192,
+                                       cache_dtype=jnp.int8, params=p), 2)
+            del p
         except Exception as exc:  # noqa: BLE001 — keep earlier numbers
             extra[key] = f"error: {str(exc)[:120]}"
     return full_ctx, extra

@@ -39,19 +39,22 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_llama_params():
-    """Random 7B-shape int8 decode params, created on-device (bench.py
-    pattern — no 27 GB host init)."""
+def build_llama_params(bits="8", lm_head_bits=0):
+    """Random 7B-shape quantized decode params, created on-device (bench.py
+    pattern — no 27 GB host init). bits: "8" (int8) or "4h" (halves-packed
+    int4, the Pallas W4A8 serving recipe); lm_head_bits=8 → int8
+    unembedding (engine `lm_head_bits: 8`)."""
     import jax
     import jax.numpy as jnp
 
     from lhrs_bot_tpu.models.llama import LlamaConfig
-    from lhrs_bot_tpu.ops.quant import quantize_int8
+    from lhrs_bot_tpu.ops.quant import quantize_int4h, quantize_int8
 
     cfg = LlamaConfig.llama2_7b()
+    qw = quantize_int8 if bits == "8" else quantize_int4h
 
     def qinit(key, shape):
-        f = jax.jit(lambda k: quantize_int8(
+        f = jax.jit(lambda k: qw(
             jax.random.normal(k, shape, jnp.bfloat16) * 0.02, axis=1))
         out = f(key)
         jax.block_until_ready(out.q)
@@ -77,6 +80,9 @@ def build_llama_params():
         "final_norm": jnp.ones((d,), jnp.bfloat16),
         "lm_head": jax.random.normal(keys[8], (d, V), jnp.bfloat16) * 0.02,
     }
+    if lm_head_bits == 8:
+        params["lm_head"] = jax.block_until_ready(jax.jit(
+            lambda w: quantize_int8(w, axis=0))(params["lm_head"]))
     return cfg, params
 
 
@@ -113,6 +119,12 @@ def main():
     ap.add_argument("--pool-tokens", type=int, default=0)
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--prefill-chunk", type=int, default=0)
+    ap.add_argument("--bits", default="8", choices=("8", "4h"),
+                    help="decoder weight recipe: int8 or halves-packed "
+                         "int4 (Pallas W4A8 matmul — the bits:4 serving "
+                         "fast path; ~1.9x fewer weight bytes/token)")
+    ap.add_argument("--lm-head-bits", type=int, default=0,
+                    help="8: int8 unembedding (engine lm_head_bits)")
     ap.add_argument("--speculative", type=int, default=0,
                     help="also measure the on-device speculative tick at "
                          "this window width (contiguous scheduler only). "
@@ -133,7 +145,8 @@ def main():
     from lhrs_bot_tpu.serve.scheduler import (ContinuousBatchingScheduler,
                                               Request)
 
-    llama_cfg, llama_params = build_llama_params()
+    llama_cfg, llama_params = build_llama_params(
+        bits=args.bits, lm_head_bits=args.lm_head_bits)
     cfg = VLMConfig(stage=0)  # cfg.llama defaults to llama2_7b
     assert cfg.llama.hidden_size == llama_cfg.hidden_size
     rng = np.random.default_rng(0)
@@ -163,6 +176,8 @@ def main():
     # transient tunnel failure late in the run still leaves the main number.
     cache_dtype = jnp.int8 if args.cache_dtype == "int8" else jnp.bfloat16
     report["cache_dtype"] = args.cache_dtype
+    report["bits"] = args.bits
+    report["lm_head_bits"] = args.lm_head_bits
     report["paged"] = bool(args.paged)
     if args.paged:
         from lhrs_bot_tpu.serve.paged import PagedScheduler

@@ -178,6 +178,12 @@ def build_engine(cfg, params, config, mesh=None):
         quantize_bits=quantize_bits,
         quant_type=str(getattr(config, "quant_type", "nf4") or "nf4"),
         double_quant=bool(getattr(config, "double_quant", True)),
+        # `lm_head_bits: 8` (YAML/CLI, beyond-reference): int8 unembedding.
+        # Decode streams every weight per token, so the bf16 head is
+        # 262 MB of the per-token read; int8 halves it (+1.5% tok/s at 7B,
+        # benchmarks/decode_breakdown.py). Default off — the reference's
+        # bnb recipe keeps lm_head fp16.
+        lm_head_bits=int(getattr(config, "lm_head_bits", 0) or 0) or None,
         vision_w8a8=vision_w8a8,
         prefill_chunk=chunk or None,
         mesh=mesh,

@@ -37,8 +37,8 @@ import jax.numpy as jnp
 from ..ops.decode_attention import decode_attention
 from ..ops.rmsnorm import rms_norm
 from ..ops.rope import rope_cos_sin
-from .llama import (KVCache, LlamaConfig, _cast_params, _proj, _qkv,
-                    _silu_mlp)
+from .llama import (KVCache, LlamaConfig, _cast_params, _lm_head_logits,
+                    _proj, _qkv, _silu_mlp)
 
 
 class PagedKVCache(NamedTuple):
@@ -281,8 +281,7 @@ def paged_prefill_with_context(
     last = jnp.maximum(suffix_len - 1, 0)
     x_last = jnp.take_along_axis(
         x, last[:, None, None].astype(jnp.int32), axis=1).squeeze(1)
-    logits = jnp.dot(x_last, params["lm_head"].astype(compute_dtype),
-                     preferred_element_type=jnp.float32)
+    logits = _lm_head_logits(x_last, params["lm_head"], compute_dtype)
     new_len = (ctx_len + suffix_len).astype(jnp.int32)
     return logits, PagedKVCache(
         kp, vp, new_table,
@@ -377,6 +376,5 @@ def paged_decode_step(
     (x, kp, vp, ks, vs, _), _ = jax.lax.scan(body, init, layers)
     x = rms_norm(x, params["final_norm"].astype(compute_dtype),
                  cfg.rms_norm_eps)
-    logits = jnp.dot(x[:, 0, :], params["lm_head"].astype(compute_dtype),
-                     preferred_element_type=jnp.float32)
+    logits = _lm_head_logits(x[:, 0, :], params["lm_head"], compute_dtype)
     return logits, PagedKVCache(kp, vp, pcache.page_table, new_len, ks, vs)

@@ -123,10 +123,20 @@ def llama_serving_specs(llama_params) -> Any:
             return QuantizedTensor(q=spec, scale=scale_spec, bits=leaf.bits)
         return spec
 
+    def adapt_head(leaf):
+        # int8 lm_head (quantized along the contraction axis d): q is
+        # (d, V), scale is (1, V) — both shard on the vocab axis like the
+        # bf16 head does.
+        if isinstance(leaf, QuantizedTensor):
+            return QuantizedTensor(q=P(None, MODEL_AXIS),
+                                   scale=P(None, MODEL_AXIS),
+                                   bits=leaf.bits)
+        return base["lm_head"]
+
     out = {
         "embed_tokens": base["embed_tokens"],
         "final_norm": base["final_norm"],
-        "lm_head": base["lm_head"],
+        "lm_head": adapt_head(llama_params["lm_head"]),
         "layers": {
             k: adapt(base["layers"].get(k, P()), v)
             for k, v in llama_params["layers"].items()

@@ -88,7 +88,7 @@ def _is_host_tree(llama_params) -> bool:
         for w in llama_params["layers"].values())
 
 
-def _host_merge_quantize(params, cfg, compute_dtype):
+def _host_merge_quantize(params, cfg, compute_dtype, lm_head_bits=None):
     """LoRA merge + symmetric per-channel int8, entirely in numpy.
 
     merge_and_unload parity (UniBind.py:110-116) followed by the bits-8
@@ -122,6 +122,13 @@ def _host_merge_quantize(params, cfg, compute_dtype):
             if np.issubdtype(np.asarray(v).dtype, np.floating) else v)
         for k, v in llama.items() if k != "layers"
     }
+    if lm_head_bits == 8:
+        wf = np.asarray(llama["lm_head"]).astype(np.float32)  # (d, V)
+        absmax = np.abs(wf).max(axis=0, keepdims=True)
+        scale = np.where(absmax == 0, 1.0, absmax / 127.0)
+        top["lm_head"] = QuantizedTensor(
+            q=np.clip(np.round(wf / scale), -127, 127).astype(np.int8),
+            scale=scale.astype(np.float32), bits=8)
     return {**top, "layers": out_layers}
 
 
@@ -137,6 +144,9 @@ class GenerationEngine:
         quantize_bits: Optional[int] = None,  # 8/4: int weights for decode
         quant_type: str = "nf4",  # bits=4 codebook (reference BitsAndBytes)
         double_quant: bool = True,  # bits=4: double-quantize the absmax
+        lm_head_bits: Optional[int] = None,  # 8: int8 unembedding (decode
+        # streams every weight per token; the bf16 head is 262 MB/step.
+        # Off by default: the reference's bnb recipe keeps lm_head fp16)
         vision_w8a8: bool = False,  # fused W8A8 vision tower (Pallas)
         mesh=None,  # jax.sharding.Mesh → TP-shard the decoder over ICI
         prompt_bucket: int = 64,  # pad prompts up to a bucket width
@@ -176,7 +186,7 @@ class GenerationEngine:
             # int8 (6.6 GB) — past 16 GB of HBM, with the OOM surfacing
             # lazily at the first real execution.
             self.llama_params = _host_merge_quantize(
-                params, cfg, compute_dtype)
+                params, cfg, compute_dtype, lm_head_bits=lm_head_bits)
         else:
             self.llama_params = jax.tree_util.tree_map(
                 lambda x: x.astype(compute_dtype)
@@ -197,6 +207,17 @@ class GenerationEngine:
                     "layers": quantize_llama_layers(
                         self.llama_params["layers"], bits=quantize_bits,
                         quant_type=quant_type, double_quant=double_quant),
+                }
+            from ..ops.quant import QuantizedTensor, quantize_int8
+
+            if lm_head_bits == 8 and not isinstance(
+                    self.llama_params["lm_head"], QuantizedTensor):
+
+                self.llama_params = {
+                    **self.llama_params,
+                    "lm_head": jax.jit(
+                        lambda w: quantize_int8(w, axis=0))(
+                        self.llama_params["lm_head"]),
                 }
         self._vision_packed = None
         if vision_w8a8:

@@ -143,7 +143,7 @@ class ContinuousBatchingScheduler:
                                  static_argnames=("sample",))
         self._spec_tick_jit = jax.jit(
             self._spec_tick, donate_argnums=(2,),
-            static_argnames=("width", "ngram", "rounds"))
+            static_argnames=("width", "ngram", "rounds", "sample"))
 
     @staticmethod
     def _bucket_sizes(n: int):
@@ -307,7 +307,8 @@ class ContinuousBatchingScheduler:
         return toks, live, cache
 
     def _spec_tick(self, llama_params, tokens, cache, active, budgets,
-                   hist, hist_len, *, width: int, ngram: int, rounds: int):
+                   hist, hist_len, rng, temps, top_ps,
+                   *, width: int, ngram: int, rounds: int, sample: bool):
         """`rounds` speculative decode rounds over all slots in ONE
         dispatch (see serve/speculative.py). Per round each slot proposes
         up to `width` tokens from its own history (device-side prompt
@@ -315,10 +316,16 @@ class ContinuousBatchingScheduler:
         prefill, and advances by 1..width+1 tokens — one weight read per
         round either way, so greedy throughput is never below the plain
         tick's and multiplies with the acceptance rate. Emits
-        (rounds, B, width+1) tokens + live mask; greedy-only (step()
-        falls back to _tick while any active slot samples)."""
+        (rounds, B, width+1) tokens + live mask.
+
+        `sample` is static (plain-tick parity): when any active slot has
+        temperature > 0, acceptance runs the exact deterministic-draft
+        rejection rule (`accept_window_sampled`) so sampling slots keep
+        speculating instead of forcing the whole batch to plain ticks;
+        all-greedy batches skip the per-position top-p sort."""
         from ..models.llama import llama_prefill_continue
-        from .speculative import accept_window, propose_from_history
+        from .speculative import (accept_window, accept_window_sampled,
+                                  propose_from_history)
 
         s_max = cache.k.shape[3]
         b = tokens.shape[0]
@@ -327,7 +334,7 @@ class ContinuousBatchingScheduler:
         i2 = jnp.arange(wp1)[None, :]
         s_hist = hist.shape[1]
 
-        def body(carry, _):
+        def body(carry, round_rng):
             toks, cache, act, budg, hist, hlen = carry
             prop, n_prop = propose_from_history(
                 hist, hlen, ngram=ngram, width=width)
@@ -346,8 +353,12 @@ class ContinuousBatchingScheduler:
                 inputs_embeds=embeds, suffix_len=suffix,
                 start=cache.length, compute_dtype=self.compute_dtype,
                 return_all_logits=True)
-            preds = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
-            p, corr = accept_window(prop, n_prop, preds)
+            if sample:
+                p, corr = accept_window_sampled(
+                    prop, n_prop, logits_all, round_rng, temps, top_ps)
+            else:
+                preds = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
+                p, corr = accept_window(prop, n_prop, preds)
             # emissions: accepted proposals then the correction token,
             # clamped to the budget (the token that exhausts the budget
             # is still emitted — _push_token parity)
@@ -378,9 +389,10 @@ class ContinuousBatchingScheduler:
             return ((new_toks, new_cache, new_act, new_budg, hist, hlen),
                     (emit, live))
 
+        round_rngs = jax.random.split(rng, rounds)
         (_, cache, _, _, _, _), (toks_out, live_out) = jax.lax.scan(
             body, (tokens, cache, active, budgets, hist, hist_len),
-            None, length=rounds)
+            round_rngs)
         return toks_out, live_out, cache
 
     # -- host-side scheduling --------------------------------------------------
@@ -579,12 +591,15 @@ class ContinuousBatchingScheduler:
 
     def _step_speculative(self) -> int:
         hist, hlen = self._history_arrays()
+        self._rng, step_rng = jax.random.split(self._rng)
         toks, live, self.cache = self._spec_tick_jit(
             self.llama_params, jnp.asarray(self.last_tokens), self.cache,
             jnp.asarray(self.active), jnp.asarray(self.slot_budget),
-            jnp.asarray(hist), jnp.asarray(hlen),
+            jnp.asarray(hist), jnp.asarray(hlen), step_rng,
+            jnp.asarray(self.slot_temp), jnp.asarray(self.slot_top_p),
             width=self.speculative, ngram=self.spec_ngram,
-            rounds=self.tokens_per_tick)
+            rounds=self.tokens_per_tick,
+            sample=bool(self.slot_temp[self.active].max(initial=0.0) > 0))
         toks_host = np.asarray(toks)   # (rounds, B, W+1)
         live_host = np.asarray(live)
         for r in range(toks_host.shape[0]):
@@ -599,8 +614,9 @@ class ContinuousBatchingScheduler:
         single dispatch) over all slots; returns #still-active."""
         if not self.active.any():
             return 0
-        if (self.speculative > 0 and
-                float(self.slot_temp[self.active].max(initial=0.0)) <= 0.0):
+        if self.speculative > 0:
+            # sampling slots participate via the exact rejection rule
+            # (accept_window_sampled); greedy slots keep argmax acceptance
             return self._step_speculative()
         self._rng, step_rng = jax.random.split(self._rng)
         toks, live, self.cache = self._tick_jit(

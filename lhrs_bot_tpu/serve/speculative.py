@@ -76,6 +76,77 @@ def propose_from_history(hist: jnp.ndarray, hist_len: jnp.ndarray, *,
     return follow.astype(jnp.int32), n.astype(jnp.int32)
 
 
+def _warp_logits(logits: jnp.ndarray, temps: jnp.ndarray,
+                 top_ps: jnp.ndarray) -> jnp.ndarray:
+    """Temperature + top-p warp of (B, W1, V) verify logits, the same
+    warp the plain tick's `_sample_token_per_slot` applies — speculative
+    sampling must target the identical warped distribution to be exact."""
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None, None]
+    sl = jnp.sort(scaled, axis=-1)[..., ::-1]
+    sp = jax.nn.softmax(sl, axis=-1)
+    cum = jnp.cumsum(sp, axis=-1)
+    k = jnp.sum(cum < top_ps[:, None, None], axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sl, k, axis=-1)
+    return jnp.where(scaled < cutoff, -1e30, scaled)
+
+
+def accept_window_sampled(prop: jnp.ndarray, n_prop: jnp.ndarray,
+                          logits_all: jnp.ndarray, rng: jax.Array,
+                          temps: jnp.ndarray, top_ps: jnp.ndarray):
+    """Exact speculative SAMPLING for a deterministic (prompt-lookup)
+    draft; greedy rows (temp <= 0) reduce to `accept_window`'s argmax
+    rule bit-for-bit.
+
+    The draft distribution is a point mass q = δ(x_i), so the classic
+    rejection rule (Leviathan et al. '23 §3.1 / Chen et al. '23)
+    specializes to: accept x_i with probability p_i(x_i) under the
+    warped verify distribution p_i; at the first rejection, draw the
+    correction from norm(max(p − q, 0)) — p with x_i's mass removed. If
+    every proposal is accepted (or none was made), the correction is a
+    fresh sample from p at the next position. The marginal distribution
+    of emitted tokens equals plain autoregressive sampling from the
+    warped p exactly (tests/test_scheduler.py Monte-Carlo check).
+
+    prop (B, W) int32, n_prop (B,), logits_all (B, W+1, V) f32.
+    Returns (p (B,) accepted count, corr (B,) correction token)."""
+    b, width = prop.shape
+    iota = jnp.arange(width)[None, :]
+    in_window = iota < n_prop[:, None]
+
+    greedy_preds = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
+    ok_greedy = (prop == greedy_preds[:, :width]) & in_window
+
+    warped = _warp_logits(logits_all, temps, top_ps)
+    probs = jax.nn.softmax(warped, axis=-1)                    # (B, W1, V)
+    p_tok = jnp.take_along_axis(
+        probs[:, :width, :], jnp.maximum(prop, 0)[..., None],
+        axis=-1)[..., 0]                                       # (B, W)
+    r_acc, r_corr = jax.random.split(rng)
+    u = jax.random.uniform(r_acc, (b, width))
+    ok_sample = (u < p_tok) & in_window
+
+    sampling = temps > 0
+    ok = jnp.where(sampling[:, None], ok_sample, ok_greedy)
+    p = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+
+    # correction distribution: position p, minus the rejected token's
+    # mass when a rejection happened (rejection implies p(x) <= u < 1, so
+    # leftover mass is strictly positive; the epsilon only guards fp)
+    probs_p = jnp.take_along_axis(
+        probs, p[:, None, None], axis=1)[:, 0]                 # (B, V)
+    rejected = p < n_prop
+    rej_tok = jnp.take_along_axis(
+        prop, jnp.minimum(p, width - 1)[:, None], axis=1)[:, 0]
+    keep = jnp.arange(probs.shape[-1])[None, :] != rej_tok[:, None]
+    dist = jnp.where(rejected[:, None] & ~keep, 0.0, probs_p)
+    corr_sampled = jax.random.categorical(
+        r_corr, jnp.log(dist + 1e-30), axis=-1).astype(jnp.int32)
+    corr_greedy = jnp.take_along_axis(
+        greedy_preds, p[:, None], axis=1)[:, 0]
+    corr = jnp.where(sampling, corr_sampled, corr_greedy)
+    return p.astype(jnp.int32), corr.astype(jnp.int32)
+
+
 def accept_window(prop: jnp.ndarray, n_prop: jnp.ndarray,
                   preds: jnp.ndarray):
     """Greedy acceptance: longest prefix of `prop` agreeing with the

@@ -536,6 +536,52 @@ class TestQuantizedEngine:
                     / (jnp.abs(l_fp).max() + 1e-9))
         assert rel < 0.15, rel
 
+    def test_int8_lm_head_close_and_host_matches_device(self):
+        """lm_head_bits=8 (int8 unembedding, serving bandwidth lever):
+        logits stay within quantization tolerance of the fp head, and the
+        numpy host-quantize path produces the same tokens as the device
+        path."""
+        import numpy as np
+
+        cfg = VLMConfig.tiny_test(stage=0, lora=True)
+        params = init_vlm_params(jax.random.PRNGKey(3), cfg)
+        from lhrs_bot_tpu.ops.quant import QuantizedTensor
+
+        fp = GenerationEngine(cfg, params, max_seq_len=64,
+                              compute_dtype=jnp.float32,
+                              cache_dtype=jnp.float32, quantize_bits=8)
+        dev = GenerationEngine(cfg, params, max_seq_len=64,
+                               compute_dtype=jnp.float32,
+                               cache_dtype=jnp.float32, quantize_bits=8,
+                               lm_head_bits=8)
+        host_tree = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+        host = GenerationEngine(cfg, host_tree, max_seq_len=64,
+                                compute_dtype=jnp.float32,
+                                cache_dtype=jnp.float32, quantize_bits=8,
+                                lm_head_bits=8)
+        for e in (dev, host):
+            assert isinstance(e.llama_params["lm_head"], QuantizedTensor)
+        ids = np.full((1, 6), 9, np.int32)
+        gcfg = GenerationConfig(max_new_tokens=4, eos_token_id=-1)
+        lens = np.asarray([6], np.int32)
+        assert (dev.generate(ids, lens, gen_cfg=gcfg)
+                == host.generate(ids, lens, gen_cfg=gcfg))
+        # logits within int8 weight-quant tolerance of the fp head
+        from lhrs_bot_tpu.models.llama import KVCache, llama_prefill
+        emb = jnp.take(fp.llama_params["embed_tokens"],
+                       jnp.asarray(ids), axis=0)
+        outs = []
+        for e in (fp, dev):
+            c = KVCache.create(cfg.llama, 1, 16, dtype=jnp.float32)
+            l, _ = llama_prefill(e.llama_params, cfg.llama, c,
+                                 inputs_embeds=emb,
+                                 prompt_len=jnp.asarray([6]),
+                                 compute_dtype=jnp.float32)
+            outs.append(l)
+        rel = float(jnp.abs(outs[1] - outs[0]).max()
+                    / (jnp.abs(outs[0]).max() + 1e-9))
+        assert rel < 0.05, rel
+
     def test_int4_engine_generates(self):
         """bits=4 (the reference's 4-bit recipe, text_modal.py:91-109):
         packed-nibble weights through prefill + cached decode produce
@@ -558,15 +604,17 @@ class TestMeshEngine:
 
         cfg = VLMConfig.tiny_test(stage=0)
         params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        lm8 = 8 if bits == 8 else None  # also cover the int8-head TP spec
         single = GenerationEngine(cfg, params, max_seq_len=64,
                                   compute_dtype=jnp.float32,
                                   cache_dtype=jnp.float32,
-                                  quantize_bits=bits)
+                                  quantize_bits=bits, lm_head_bits=lm8)
         mesh = make_mesh(dp=1, tp=4)
         sharded = GenerationEngine(cfg, params, max_seq_len=64,
                                    compute_dtype=jnp.float32,
                                    cache_dtype=jnp.float32,
-                                   quantize_bits=bits, mesh=mesh)
+                                   quantize_bits=bits, lm_head_bits=lm8,
+                                   mesh=mesh)
         ids = np.full((2, 6), 13, np.int32)
         gcfg = GenerationConfig(max_new_tokens=4)
         lens = np.asarray([6, 6], np.int32)

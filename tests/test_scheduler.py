@@ -451,23 +451,90 @@ class TestSpeculativeScheduler:
         assert outs == plain
         assert len(outs[0]) <= 2 and len(outs[1]) <= 5
 
-    def test_sampling_slot_falls_back_to_plain_tick(self, setup):
+    def test_mixed_sampling_batch_keeps_greedy_rows_exact(self, setup):
+        """A sampling slot no longer forces plain ticks: the spec tick
+        runs the exact rejection rule for it, and the GREEDY slot sharing
+        the batch must still emit token-for-token what a speculative
+        all-greedy run emits (argmax acceptance is per-row)."""
         cfg, params, engine, _ = setup
-        sched = ContinuousBatchingScheduler(
-            cfg, params, engine.llama_params, max_batch=2,
-            max_seq_len=96, compute_dtype=jnp.float32,
-            cache_dtype=jnp.float32, tokens_per_tick=4,
-            eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16,
-            speculative=4)
-        rng = np.random.default_rng(1)
-        reqs = [Request(uid=0, input_ids=rng.integers(
+
+        def run(with_sampler):
+            sched = ContinuousBatchingScheduler(
+                cfg, params, engine.llama_params, max_batch=2,
+                max_seq_len=96, compute_dtype=jnp.float32,
+                cache_dtype=jnp.float32, tokens_per_tick=4,
+                eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16,
+                speculative=4)
+            rng = np.random.default_rng(1)
+            reqs = [Request(uid=1, input_ids=rng.integers(
+                        3, 200, size=(8,)).astype(np.int32),
+                        max_new_tokens=6)]
+            if with_sampler:
+                # reuse the same rng draws for the greedy prompt
+                sampler = Request(uid=0, input_ids=rng.integers(
                     3, 200, size=(6,)).astype(np.int32),
-                    max_new_tokens=5, temperature=0.9, top_p=0.9),
-                Request(uid=1, input_ids=rng.integers(
-                    3, 200, size=(8,)).astype(np.int32),
-                    max_new_tokens=5)]
-        sched.run(reqs)
-        assert all(r.done and len(r.output_ids) >= 1 for r in reqs)
+                    max_new_tokens=6, temperature=0.9, top_p=0.9)
+                reqs = [sampler] + reqs
+            sched.run(reqs)
+            assert all(r.done and len(r.output_ids) >= 1 for r in reqs)
+            return list(reqs[-1].output_ids)
+
+        greedy_alone = run(with_sampler=False)
+        greedy_mixed = run(with_sampler=True)
+        assert greedy_alone == greedy_mixed
+
+    def test_accept_window_sampled_greedy_reduction(self):
+        """temps<=0 rows of accept_window_sampled must equal
+        accept_window's argmax rule exactly."""
+        from lhrs_bot_tpu.serve.speculative import (accept_window,
+                                                    accept_window_sampled)
+
+        rng = np.random.default_rng(5)
+        B, W, V = 4, 3, 11
+        logits = jnp.asarray(rng.normal(size=(B, W + 1, V)), jnp.float32)
+        prop = jnp.asarray(rng.integers(0, V, size=(B, W)), jnp.int32)
+        # make some proposals agree with argmax so acceptance is nonzero
+        preds = jnp.argmax(logits, -1).astype(jnp.int32)
+        prop = prop.at[0].set(preds[0, :W]).at[2, 0].set(preds[2, 0])
+        n_prop = jnp.asarray([3, 0, 2, 1], jnp.int32)
+        p_ref, c_ref = accept_window(prop, n_prop, preds)
+        p_s, c_s = accept_window_sampled(
+            prop, n_prop, logits, jax.random.PRNGKey(0),
+            jnp.zeros((B,), jnp.float32), jnp.ones((B,), jnp.float32))
+        assert (np.asarray(p_s) == np.asarray(p_ref)).all()
+        assert (np.asarray(c_s) == np.asarray(c_ref)).all()
+
+    def test_accept_window_sampled_marginal_exactness(self):
+        """Distributional exactness of deterministic-draft speculative
+        sampling: over many RNG draws, the FIRST emitted token (accepted
+        proposal or correction) must be distributed exactly like a plain
+        sample from the warped verify distribution at position 0."""
+        from lhrs_bot_tpu.serve.speculative import (_warp_logits,
+                                                    accept_window_sampled)
+
+        V, W, N = 6, 2, 4000
+        rng = np.random.default_rng(7)
+        logits_row = rng.normal(size=(W + 1, V)).astype(np.float32)
+        temps = jnp.asarray([0.7], jnp.float32)
+        top_ps = jnp.asarray([1.0], jnp.float32)
+        logits = jnp.asarray(logits_row)[None]
+        prop = jnp.asarray([[2, 3]], jnp.int32)
+        n_prop = jnp.asarray([W], jnp.int32)
+
+        @jax.jit
+        def draw(key):
+            p, corr = accept_window_sampled(prop, n_prop, logits, key,
+                                            temps, top_ps)
+            first = jnp.where(p[0] > 0, prop[0, 0], corr[0])
+            return first
+
+        keys = jax.random.split(jax.random.PRNGKey(42), N)
+        firsts = np.asarray(jax.vmap(draw)(keys))
+        counts = np.bincount(firsts, minlength=V) / N
+        target = np.asarray(jax.nn.softmax(
+            _warp_logits(logits, temps, top_ps)[0, 0]))
+        # multinomial noise at N=4000: 4 sigma ≈ 4*sqrt(p(1-p)/N) < 0.032
+        assert np.abs(counts - target).max() < 0.035, (counts, target)
 
     def test_paged_scheduler_rejects_speculative(self, setup):
         cfg, params, engine, _ = setup
