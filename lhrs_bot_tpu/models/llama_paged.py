@@ -11,19 +11,20 @@ The reference has no serving engine at all (its only generation surface is
 a single-user HF `generate` thread, /root/reference/lhrs_webui.py:233-239);
 this module extends the TPU serving stack beyond it.
 
-TPU design: attention over the paged pool dispatches to JAX's bundled
-Pallas paged-attention kernel (jax.experimental.pallas.ops.tpu.
-paged_attention — per-page async DMA from HBM, online softmax), a library
-dependency, with an XLA gather-based reference for CPU meshes and tests.
-Page appends are tiny scatters ((B, H, d) per layer) into the pool, which
-stays a scan carry exactly like the contiguous cache (llama.py:393-405 —
-xs/ys formulations force per-layer pool copies).
+TPU design: decode attention + page append run as ONE fused Pallas
+kernel (ops/paged_fused.py — the new token's K/V row is read-modify-
+written into its page while the sequence's valid pages stream through a
+deep DMA ring with online softmax), with an XLA gather-based reference
+for CPU meshes and tests. JAX's bundled paged-attention kernel was
+measured at ~1.8 GB/s effective on this geometry (per-(head, page) 8 KB
+fragment DMAs, benchmarks/paged_probe.py) and is not used.
 
-Layout: pools are (L, H, N_pages, page_size, d) — the kernel wants
-(H, pages, p, d) per layer, and the layer axis leads so `lax.scan` can
-slice it. `page_table` rows index the pool; **page 0 is reserved as the
-null page**: unallocated table entries point at it, it is never allocated
-to a sequence, and masked attention (positions >= length) never reads it.
+Layout: pools are (L, N_pages, H, page_size, d) — one PAGE is one dense
+(H, page, d) block so the kernel streams it as a single async copy, and
+the layer axis leads so `lax.scan` can slice it. `page_table` rows index
+the pool; **page 0 is reserved as the null page**: unallocated table
+entries point at it, it is never allocated to a sequence, and masked
+attention (positions >= length) never reads it.
 """
 
 from __future__ import annotations
@@ -42,14 +43,13 @@ from .llama import (KVCache, LlamaConfig, _cast_params, _lm_head_logits,
 
 
 class PagedKVCache(NamedTuple):
-    k_pages: jnp.ndarray     # (L, H, N_pages, page_size, d)
-    v_pages: jnp.ndarray     # (L, H, N_pages, page_size, d)
+    k_pages: jnp.ndarray     # (L, N_pages, H, page_size, d)
+    v_pages: jnp.ndarray     # (L, N_pages, H, page_size, d)
     page_table: jnp.ndarray  # (B, pages_per_seq) int32 — 0 = null page
     lengths: jnp.ndarray     # (B,) int32 valid tokens per slot
     # int8 pools: per-(head, position) vector scales, repo convention
-    # x ≈ q * scale (scale = absmax/127, ops/quant.py:81); the bundled
-    # kernel's QuantizedTensor wants absmax, adapted at the call site
-    k_scale_pages: Optional[jnp.ndarray] = None  # (L, H, N, page) f32
+    # x ≈ q * scale (scale = absmax/127, ops/quant.py:81)
+    k_scale_pages: Optional[jnp.ndarray] = None  # (L, N, H, page) f32
     v_scale_pages: Optional[jnp.ndarray] = None
 
     @property
@@ -68,8 +68,8 @@ class PagedKVCache(NamedTuple):
     def create(cls, cfg: LlamaConfig, batch: int, num_pages: int,
                pages_per_seq: int, page_size: int = 64,
                dtype=jnp.bfloat16) -> "PagedKVCache":
-        shape = (cfg.num_hidden_layers, cfg.num_attention_heads,
-                 num_pages, page_size, cfg.head_dim)
+        shape = (cfg.num_hidden_layers, num_pages,
+                 cfg.num_attention_heads, page_size, cfg.head_dim)
         table = jnp.zeros((batch, pages_per_seq), jnp.int32)
         lengths = jnp.zeros((batch,), jnp.int32)
         if dtype == jnp.int8:
@@ -114,18 +114,18 @@ def scatter_prefill(
     ids = table_rows[:, :n_chunks].reshape(-1)           # (b·n_chunks,)
 
     def put(pool, rows):
-        # (L, b, H, W, d) → chunks (L, H, b·n_chunks, p, d) in id order
+        # (L, b, H, W, d) → chunks (L, b·n_chunks, H, p, d) in id order
         chunks = rows.reshape(L, b, H, n_chunks, p, d)
-        chunks = chunks.transpose(0, 2, 1, 3, 4, 5).reshape(
-            L, H, b * n_chunks, p, d)
-        return pool.at[:, :, ids].set(chunks.astype(pool.dtype))
+        chunks = chunks.transpose(0, 1, 3, 2, 4, 5).reshape(
+            L, b * n_chunks, H, p, d)
+        return pool.at[:, ids].set(chunks.astype(pool.dtype))
 
     def put_scales(pool, rows):
-        # (L, b, H, W) → chunks (L, H, b·n_chunks, p)
+        # (L, b, H, W) → chunks (L, b·n_chunks, H, p)
         chunks = rows.reshape(L, b, H, n_chunks, p)
-        chunks = chunks.transpose(0, 2, 1, 3, 4).reshape(
-            L, H, b * n_chunks, p)
-        return pool.at[:, :, ids].set(chunks)
+        chunks = chunks.transpose(0, 1, 3, 2, 4).reshape(
+            L, b * n_chunks, H, p)
+        return pool.at[:, ids].set(chunks)
 
     if pcache.quantized != (tmp.k_scale is not None):
         raise ValueError("paged pool and prefill cache dtype mismatch")
@@ -143,28 +143,28 @@ def scatter_prefill(
 
 def paged_attention_reference(
     q: jnp.ndarray,            # (B, H, 1, d)
-    k_pages: jnp.ndarray,      # (H, N, p, d) — one layer's pool
+    k_pages: jnp.ndarray,      # (N, H, p, d) — one layer's pool
     v_pages: jnp.ndarray,
     page_table: jnp.ndarray,   # (B, P) int32
     lengths: jnp.ndarray,      # (B,) int32 — INCLUDING the appended token
-    k_scales: Optional[jnp.ndarray] = None,  # (H, N, p) per-vector
+    k_scales: Optional[jnp.ndarray] = None,  # (N, H, p) per-vector
     v_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """XLA path: gather this batch's pages into contiguous (B, H, S, d)
     views and reuse the masked decode attention. The gather materializes
     the batch's cache bytes (fine on CPU meshes / tests; the Pallas kernel
     streams pages without the copy on TPU)."""
-    k = jnp.take(k_pages, page_table, axis=1)  # (H, B, P, p, d)
-    h, b, P, p, d = k.shape
-    k = k.transpose(1, 0, 2, 3, 4).reshape(b, h, P * p, d)
-    v = jnp.take(v_pages, page_table, axis=1)
-    v = v.transpose(1, 0, 2, 3, 4).reshape(b, h, P * p, d)
+    k = jnp.take(k_pages, page_table, axis=0)  # (B, P, H, p, d)
+    b, P, h, p, d = k.shape
+    k = k.transpose(0, 2, 1, 3, 4).reshape(b, h, P * p, d)
+    v = jnp.take(v_pages, page_table, axis=0)
+    v = v.transpose(0, 2, 1, 3, 4).reshape(b, h, P * p, d)
     ks = vs = None
     if k_scales is not None:
-        ks = jnp.take(k_scales, page_table, axis=1).transpose(
-            1, 0, 2, 3).reshape(b, h, P * p)
-        vs = jnp.take(v_scales, page_table, axis=1).transpose(
-            1, 0, 2, 3).reshape(b, h, P * p)
+        ks = jnp.take(k_scales, page_table, axis=0).transpose(
+            0, 2, 1, 3).reshape(b, h, P * p)
+        vs = jnp.take(v_scales, page_table, axis=0).transpose(
+            0, 2, 1, 3).reshape(b, h, P * p)
     return decode_attention(q, k, v, lengths, k_scale=ks, v_scale=vs)
 
 
@@ -238,9 +238,9 @@ def paged_prefill_with_context(
                           v_view.astype(q.dtype))
 
     def gather(pool):
-        g = jnp.take(pool, rows_batch, axis=1)               # (H,b,P,p[,d])
-        perm = (1, 0) + tuple(range(2, g.ndim))
-        g = g.transpose(*perm)
+        g = jnp.take(pool, rows_batch, axis=0)               # (b,P,H,p[,d])
+        perm = (0, 2, 1, 3) + tuple(range(4, g.ndim))
+        g = g.transpose(*perm)                               # (b,H,P,p[,d])
         return g.reshape((b, g.shape[1], s_total) + g.shape[4:])
 
     def body(carry, lp):
@@ -254,16 +254,16 @@ def paged_prefill_with_context(
 
             k_q, k_s = quantize_activation(k_rows)
             v_q, v_s = quantize_activation(v_rows)
-            kp = kp.at[li, :, tok_pages, tok_offs].set(k_q.astype(kp.dtype))
-            vp = vp.at[li, :, tok_pages, tok_offs].set(v_q.astype(vp.dtype))
-            ks = ks.at[li, :, tok_pages, tok_offs].set(k_s[..., 0])
-            vs = vs.at[li, :, tok_pages, tok_offs].set(v_s[..., 0])
+            kp = kp.at[li, tok_pages, :, tok_offs].set(k_q.astype(kp.dtype))
+            vp = vp.at[li, tok_pages, :, tok_offs].set(v_q.astype(vp.dtype))
+            ks = ks.at[li, tok_pages, :, tok_offs].set(k_s[..., 0])
+            vs = vs.at[li, tok_pages, :, tok_offs].set(v_s[..., 0])
             attn = attend(q, gather(kp[li]), gather(vp[li]),
                           gather(ks[li]), gather(vs[li]))
         else:
-            kp = kp.at[li, :, tok_pages, tok_offs].set(
+            kp = kp.at[li, tok_pages, :, tok_offs].set(
                 k_rows.astype(kp.dtype))
-            vp = vp.at[li, :, tok_pages, tok_offs].set(
+            vp = vp.at[li, tok_pages, :, tok_offs].set(
                 v_rows.astype(vp.dtype))
             attn = attend(q, gather(kp[li]), gather(vp[li]), None, None)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, w, cfg.hidden_size)
@@ -290,7 +290,7 @@ def paged_prefill_with_context(
 
 def _append_rows(pool, li, page_ids, offs, rows):
     """Scatter one new token's (B, H, d) rows into layer li of the pool."""
-    return pool.at[li, :, page_ids, offs].set(rows.astype(pool.dtype))
+    return pool.at[li, page_ids, :, offs].set(rows.astype(pool.dtype))
 
 
 def paged_decode_step(
@@ -301,11 +301,13 @@ def paged_decode_step(
     inputs_embeds: jnp.ndarray,   # (B, 1, D)
     compute_dtype=jnp.bfloat16,
     use_kernel: Optional[bool] = None,
-    pages_per_compute_block: int = 4,
 ) -> Tuple[jnp.ndarray, PagedKVCache]:
     """One decode step over the paged cache: returns (logits (B, V),
     updated cache). Mirrors `llama_decode_step` (llama.py:393) with the
-    page pool threaded as the scan carry."""
+    page pool threaded as the scan carry; on TPU the per-layer append +
+    attention is ONE fused Pallas program (ops/paged_fused.py) that RMWs
+    the appended row into its page in place, so the XLA scatters (which
+    copy the pool inside the scan) vanish from the kernel path."""
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     x = inputs_embeds.astype(compute_dtype)
@@ -319,9 +321,6 @@ def paged_decode_step(
         pcache.page_table, (pcache.lengths // p)[:, None], axis=1)[:, 0]
     offs = pcache.lengths % p
     new_len = pcache.lengths + 1
-    sm = 1.0 / math.sqrt(cfg.head_dim)
-
-    ppcb = math.gcd(pages_per_compute_block, pcache.pages_per_seq)
 
     quantized = pcache.quantized
 
@@ -334,36 +333,34 @@ def paged_decode_step(
 
             k_q, k_s = quantize_activation(k)      # int8 + (B, H, 1, 1)
             v_q, v_s = quantize_activation(v)
-            kp = _append_rows(kp, li, page_ids, offs, k_q[:, :, 0])
-            vp = _append_rows(vp, li, page_ids, offs, v_q[:, :, 0])
-            ks = ks.at[li, :, page_ids, offs].set(k_s[:, :, 0, 0])
-            vs = vs.at[li, :, page_ids, offs].set(v_s[:, :, 0, 0])
-        else:
-            kp = _append_rows(kp, li, page_ids, offs, k[:, :, 0])
-            vp = _append_rows(vp, li, page_ids, offs, v[:, :, 0])
-        if use_kernel:
-            from jax.experimental.pallas.ops.tpu.paged_attention import (
-                paged_attention, quantization_utils)
+            if use_kernel:
+                from ..ops.paged_fused import paged_fused_decode_q
 
-            if quantized:
-                # kernel convention: x ≈ weight * scales / 127 (absmax
-                # scales); repo stores absmax/127
-                kk = quantization_utils.QuantizedTensor(
-                    kp[li], (ks[li] * 127.0)[..., None])
-                vv = quantization_utils.QuantizedTensor(
-                    vp[li], (vs[li] * 127.0)[..., None])
-                qq = (q[:, :, 0] * sm).astype(compute_dtype)
+                attn, kp, vp, ks, vs = paged_fused_decode_q(
+                    q.astype(jnp.bfloat16), k_q, k_s[..., 0],
+                    v_q, v_s[..., 0], kp, vp, ks, vs,
+                    pcache.page_table, pcache.lengths, li)
             else:
-                kk, vv = kp[li], vp[li]
-                qq = (q[:, :, 0] * sm).astype(kp.dtype)
-            attn = paged_attention(
-                qq, kk, vv, new_len, pcache.page_table,
-                pages_per_compute_block=ppcb)[:, :, None, :]
+                kp = _append_rows(kp, li, page_ids, offs, k_q[:, :, 0])
+                vp = _append_rows(vp, li, page_ids, offs, v_q[:, :, 0])
+                ks = ks.at[li, page_ids, :, offs].set(k_s[:, :, 0, 0])
+                vs = vs.at[li, page_ids, :, offs].set(v_s[:, :, 0, 0])
+                attn = paged_attention_reference(
+                    q, kp[li], vp[li], pcache.page_table, new_len,
+                    k_scales=ks[li], v_scales=vs[li])
         else:
-            attn = paged_attention_reference(
-                q, kp[li], vp[li], pcache.page_table, new_len,
-                k_scales=ks[li] if quantized else None,
-                v_scales=vs[li] if quantized else None)
+            if use_kernel:
+                from ..ops.paged_fused import paged_fused_decode
+
+                attn, kp, vp = paged_fused_decode(
+                    q.astype(kp.dtype), k, v, kp, vp,
+                    pcache.page_table, pcache.lengths, li)
+            else:
+                kp = _append_rows(kp, li, page_ids, offs, k[:, :, 0])
+                vp = _append_rows(vp, li, page_ids, offs, v[:, :, 0])
+                attn = paged_attention_reference(
+                    q, kp[li], vp[li], pcache.page_table, new_len)
+        attn = attn.astype(compute_dtype)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_size)
         x_mid = x_in + _proj(lp, "wo", attn)
         h2 = rms_norm(x_mid, lp["post_attn_norm"], cfg.rms_norm_eps)

@@ -209,8 +209,8 @@ class PagedScheduler(ContinuousBatchingScheduler):
 
             from ..parallel.mesh import MODEL_AXIS
 
-            pool = P(None, MODEL_AXIS, None, None, None)  # heads on TP
-            spool = P(None, MODEL_AXIS, None, None)
+            pool = P(None, None, MODEL_AXIS, None, None)  # heads on TP
+            spool = P(None, None, MODEL_AXIS, None)
             spec = PagedKVCache(
                 k_pages=pool, v_pages=pool, page_table=P(), lengths=P(),
                 k_scale_pages=spool if cache.quantized else None,

@@ -602,8 +602,8 @@ class TestPrefixCache:
         lens = jnp.array([9, 32], jnp.int32)
         _, _, pcache = prefill_both(cfg, params, ids, lens)
         poisoned = pcache._replace(
-            k_pages=pcache.k_pages.at[:, :, 0].set(1e9),
-            v_pages=pcache.v_pages.at[:, :, 0].set(1e9))
+            k_pages=pcache.k_pages.at[:, 0].set(1e9),
+            v_pages=pcache.v_pages.at[:, 0].set(1e9))
         emb = jnp.take(params["embed_tokens"],
                        jnp.array([[5], [7]], jnp.int32), axis=0)
         l1, _ = paged_decode_step(params, cfg, pcache, inputs_embeds=emb,
