@@ -153,6 +153,57 @@ def pack_perceiver_kv(params):
     return {**params, "kv_big_w": w_big, "kv_big_b": b_big}
 
 
+def pack_perceiver_kv_folded(params):
+    """Per-layer folded kv-LN + fused K|V projection (the lever between the
+    default path and the measured-negative full hoist of pack_perceiver_kv).
+
+    The kv rows are fixed across the perceiver's 6 layers, so their
+    LayerNorm STATS are layer-invariant — only the per-layer affine
+    (ln_kv_scale/bias) differs, and that folds into the projection weights:
+        ln(x) @ w + b = x_hat @ (diag(s) w) + (t @ w + b).
+    This variant normalizes the kv rows ONCE per group and keeps the
+    per-layer matmuls inside the scan, but with K and V fused into one
+    (h, 2h) weight per layer, so each layer runs ONE (B·Skv, h)x(h, 2h)
+    matmul instead of two matmuls plus a full kv-LayerNorm. Unlike the
+    full hoist there is no (B, Skv, 2·L·h) materialization — the folded
+    projection is consumed immediately by attention.
+
+    Returns params with `layers` rewritten: wk/bk/wv/bv/ln_kv_* are
+    replaced by stacked `w_kv` (L, h, 2h) (+ int8 if the input was
+    quantized) and `b_kv` (L, 2h) f32. perceiver_resample dispatches on
+    the presence of `w_kv`. Parity target: reference AttnPooler kv path,
+    /root/reference/lhrs/models/common_arch.py:311-333.
+    """
+    from ..ops.quant import QuantizedTensor, dequantize, quantize_int8
+
+    layers = params["layers"]
+    quantized = isinstance(layers["wk"], QuantizedTensor)
+    orig_dtype = None if quantized else layers["wk"].dtype
+
+    def dense(w):
+        return (dequantize(w) if isinstance(w, QuantizedTensor)
+                else w.astype(jnp.float32))
+
+    wk, wv = dense(layers["wk"]), dense(layers["wv"])  # (L, h, h)
+    s = layers["ln_kv_scale"].astype(jnp.float32)      # (L, h)
+    t = layers["ln_kv_bias"].astype(jnp.float32)
+    bk = jnp.einsum("li,lio->lo", t, wk) + layers["bk"].astype(jnp.float32)
+    bv = jnp.einsum("li,lio->lo", t, wv) + layers["bv"].astype(jnp.float32)
+    w_kv = jnp.concatenate([s[:, :, None] * wk, s[:, :, None] * wv],
+                           axis=-1)                    # (L, h, 2h)
+    b_kv = jnp.concatenate([bk, bv], axis=-1)          # (L, 2h)
+    if quantized:
+        w_kv = quantize_int8(w_kv, axis=1)
+    else:
+        w_kv = w_kv.astype(orig_dtype)
+    new_layers = {k: v for k, v in layers.items()
+                  if k not in ("wk", "bk", "wv", "bv",
+                               "ln_kv_scale", "ln_kv_bias")}
+    new_layers["w_kv"] = w_kv
+    new_layers["b_kv"] = b_kv
+    return {**params, "layers": new_layers}
+
+
 def _cross_block_kv(q_tokens, k, v, lp, cfg: PerceiverConfig):
     """_cross_block with K/V precomputed (hoisted out of the layer scan).
     k, v: (B, Skv, h) in compute dtype."""
@@ -358,8 +409,24 @@ def perceiver_resample(
 
         outs = []
         row_off = 0
+        folded = "w_kv" in layers
+        h = cfg.hidden_size
         for q0, img in zip(q_groups, img_groups):
-            if kvp is not None:
+            if folded:
+                # folded kv-LN: normalize the fixed kv rows ONCE per group;
+                # each layer is one fused K|V matmul inside the scan
+                xhat = _normalize_rows(
+                    jnp.concatenate([q0, img], axis=1), cfg.ln_eps)
+
+                def body_folded(carry, lp):
+                    kv = dense_any(xhat, lp["w_kv"],
+                                   lp["b_kv"].astype(jnp.float32)
+                                   ).astype(carry.dtype)
+                    return _cross_block_kv(carry, kv[..., :h], kv[..., h:],
+                                           lp, cfg), None
+
+                out, _ = jax.lax.scan(body_folded, q0, layers)
+            elif kvp is not None:
                 rows = q0.shape[1] + img.shape[1]
                 from ..ops.quant import QuantizedTensor
 

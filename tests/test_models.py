@@ -104,6 +104,34 @@ class TestPerceiver:
                / max(np.linalg.norm(ref_q), 1e-9))
         assert rel < 0.05, rel
 
+    def test_folded_kv_matches_loop(self):
+        # pack_perceiver_kv_folded normalizes the fixed kv rows once and
+        # folds each layer's kv-LN affine into a fused K|V weight; float
+        # path must match the per-layer path to fp32 rounding, W8A8 within
+        # the usual int8 budget.
+        from lhrs_bot_tpu.models.perceiver import pack_perceiver_kv_folded
+        from lhrs_bot_tpu.ops.quant import quantize_vision_layers
+
+        cfg = PerceiverConfig.tiny_test()
+        params = init_perceiver_params(jax.random.PRNGKey(0), cfg)
+        img = jax.random.normal(jax.random.PRNGKey(1),
+                                (2, sum(cfg.split_part),
+                                 cfg.encoder_hidden_size))
+        ref = np.asarray(perceiver_resample(params, img, cfg,
+                                            compute_dtype=F32))
+        out = np.asarray(perceiver_resample(pack_perceiver_kv_folded(params),
+                                            img, cfg, compute_dtype=F32))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+        pq = {**params, "layers": quantize_vision_layers(params["layers"])}
+        ref_q = np.asarray(perceiver_resample(pq, img, cfg,
+                                              compute_dtype=F32))
+        out_q = np.asarray(perceiver_resample(pack_perceiver_kv_folded(pq),
+                                              img, cfg, compute_dtype=F32))
+        rel = (np.linalg.norm(out_q - ref_q)
+               / max(np.linalg.norm(ref_q), 1e-9))
+        assert rel < 0.05, rel
+
     def test_level_locality(self):
         # queries of group 0 attend only to level-0 tokens: perturbing level 2
         # must not change group-0 outputs
