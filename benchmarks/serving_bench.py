@@ -125,6 +125,18 @@ def main():
                          "fast path; ~1.9x fewer weight bytes/token)")
     ap.add_argument("--lm-head-bits", type=int, default=0,
                     help="8: int8 unembedding (engine lm_head_bits)")
+    ap.add_argument("--workload", default="mix",
+                    choices=("mix", "prefix-heavy"),
+                    help="prefix-heavy: many short sessions sharing one "
+                         "long system prompt (--prefix-len + unique "
+                         "--suffix-len tails, --requests total), run to "
+                         "completion with interleaved admission — the "
+                         "paged+prefix backend prefills the shared prefix "
+                         "once; contiguous re-prefills it per request")
+    ap.add_argument("--prefix-len", type=int, default=1024)
+    ap.add_argument("--suffix-len", type=int, default=64)
+    ap.add_argument("--requests", type=int, default=0,
+                    help="prefix-heavy total requests (default 4x slots)")
     ap.add_argument("--speculative", type=int, default=0,
                     help="also measure the on-device speculative tick at "
                          "this window width (contiguous scheduler only). "
@@ -170,6 +182,21 @@ def main():
               "new_tokens": args.new_tokens,
               "max_seq_len": args.max_seq_len}
 
+    def make_prefix_reqs(n, seed):
+        """n short sessions sharing one long system prefix."""
+        shared = np.random.default_rng(777).integers(
+            3, 30000, size=(args.prefix_len,)).astype(np.int32)
+        r = np.random.default_rng(seed)
+        reqs = [Request(
+            uid=_uid[0] + i,
+            input_ids=np.concatenate(
+                [shared, r.integers(3, 30000,
+                                    size=(args.suffix_len,)
+                                    ).astype(np.int32)]),
+            max_new_tokens=args.new_tokens) for i in range(n)]
+        _uid[0] += n
+        return reqs
+
     results = {}
     # ONE scheduler: the 7B prefill program compiles once; switching the
     # decode chunk size recompiles only the tick. Headline (k=8) first so a
@@ -196,6 +223,31 @@ def main():
             cfg, {}, llama_params, max_batch=args.slots,
             max_seq_len=args.max_seq_len, tokens_per_tick=8,
             cache_dtype=cache_dtype, gen_cfg=gen_cfg, prompt_bucket=64)
+    if args.workload == "prefix-heavy":
+        n_reqs = args.requests or 4 * args.slots
+        report["prefix_len"] = args.prefix_len
+        report["suffix_len"] = args.suffix_len
+        report["requests"] = n_reqs
+        # compile pass (prefill buckets + tick), then the measured run
+        sched.run(make_prefix_reqs(args.slots, seed=1))
+        t0 = time.perf_counter()
+        done = sched.run(make_prefix_reqs(n_reqs, seed=2))
+        wall = time.perf_counter() - t0
+        out_toks = sum(len(r.output_ids) for r in done)
+        results["prefix_heavy_wall_s"] = round(wall, 2)
+        results["prefix_heavy_out_tok_s"] = round(out_toks / wall, 1)
+        if args.paged:
+            results["prefix_stats"] = sched.pool_stats()["prefix"]
+        report.update(results)
+        print(json.dumps({
+            "metric": "serving_prefix_heavy_wall_s",
+            "value": results["prefix_heavy_wall_s"],
+            "unit": f"s ({n_reqs} reqs, {args.prefix_len}-tok shared "
+                    f"prefix, {'paged' if args.paged else 'contiguous'})",
+            "extra": report,
+        }))
+        return
+
     for k in (8, 1):
         try:
             sched.set_tokens_per_tick(k)
