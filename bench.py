@@ -1,9 +1,13 @@
 """Benchmark (one JSON line): 7B decode tok/s/seq + ViT+perceiver prefill.
 
-Headline metric: LLaMA-2-7B single-sequence decode throughput with int8
-weights on one chip at the FULL parity context — S_max=2304 (2048 text +
-144 image + headroom, Config/multi_modal_eval.yaml:33 semantics) with a
-2,192-token cache already filled, i.e. the hardest honest decode workload.
+Headline metric: LLaMA-2-7B single-sequence decode throughput at the
+deployed serving recipe — halves-packed W4A8 weights (the reference's
+`bits: 4` quantized-serving surface, text_modal.py:96-103, rebuilt as a
+Pallas A8 kernel) + int8 lm_head + int8 KV — on one chip at the FULL
+parity context: S_max=2304 (2048 text + 144 image + headroom,
+Config/multi_modal_eval.yaml:33 semantics) with a 2,192-token cache
+already filled, i.e. the hardest honest decode workload. The int8-weight
+and bf16-cache points ride in `extra` for round-over-round continuity.
 The decode path is the fused Pallas append+attention kernel
 (ops/fused_decode.py) with the cache threaded in place through the scan.
 `extra` carries the B=2 aggregate at the same context, the short-context
@@ -283,11 +287,24 @@ def main():
         extra["error"] = err[:300]
 
     if tok_s is not None:
+        # Headline = the deployed serving recipe (bits:4 halves-packed
+        # W4A8 weights + int8 lm_head + int8 KV — run_serving_r04.sh's
+        # headline config, parity-characterized by the w4a8 config of
+        # tools/parity_full_scale.py --statistical). Falls back to the
+        # int8-weight point if the W4A8 measurement errored.
+        w4 = extra.get("decode_b1_s2304_w4a8_lm8_tok_s")
+        if isinstance(w4, (int, float)):
+            metric = "llama2_7b_decode_w4a8_full_context_single_chip"
+            value = w4
+            extra["decode_b1_s2304_int8w_bf16cache_tok_s"] = round(tok_s, 2)
+        else:
+            metric = "llama2_7b_decode_int8_full_context_single_chip"
+            value = round(tok_s, 2)
         print(json.dumps({
-            "metric": "llama2_7b_decode_int8_full_context_single_chip",
-            "value": round(tok_s, 2),
+            "metric": metric,
+            "value": value,
             "unit": "tok/s/seq",
-            "vs_baseline": round(tok_s / DECODE_TARGET, 4),
+            "vs_baseline": round(value / DECODE_TARGET, 4),
             "extra": extra,
         }))
     else:

@@ -117,7 +117,7 @@ def main():
                          "pool sized to slots x S_max tokens unless "
                          "--pool-tokens")
     ap.add_argument("--pool-tokens", type=int, default=0)
-    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--prefill-chunk", type=int, default=0)
     ap.add_argument("--bits", default="8", choices=("8", "4h"),
                     help="decoder weight recipe: int8 or halves-packed "

@@ -66,7 +66,7 @@ class PagedKVCache(NamedTuple):
 
     @classmethod
     def create(cls, cfg: LlamaConfig, batch: int, num_pages: int,
-               pages_per_seq: int, page_size: int = 64,
+               pages_per_seq: int, page_size: int = 128,
                dtype=jnp.bfloat16) -> "PagedKVCache":
         shape = (cfg.num_hidden_layers, num_pages,
                  cfg.num_attention_heads, page_size, cfg.head_dim)

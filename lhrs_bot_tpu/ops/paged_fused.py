@@ -10,8 +10,10 @@ scheduler. This kernel ports the fused contiguous decode design
 
   * pools live in HBM with layout (L, N_pages, H, page, D) — one PAGE is
     one dense (H, page, D) block, so a single async copy streams a whole
-    page (256 KB at 7B/int8/page=64) instead of the bundled kernel's
-    per-(head, page) fragments;
+    page (512 KB at 7B/int8/page=128) instead of the bundled kernel's
+    per-(head, page) fragments; pages are >= 128 tokens so every in-kernel
+    block keeps a full 128-lane register (Mosaic cannot reshape or
+    batch-dot (H, page) blocks below that — measured at page=64);
   * per (layer, seq) program: the new token's K/V row is read-modify-
     written into a sublane-aligned window of its page (the page id comes
     from the scalar-prefetched page table), overlapped with attention;
@@ -161,12 +163,14 @@ def _kernel_pq(layer_ref, len_ref, table_ref,
                                     ksbuf[slot])
 
         k = kbuf[slot, 0].astype(jnp.bfloat16)  # (H, page, D)
-        # batched matvec without a dummy M dim: Mosaic cannot reshape
-        # (H, page) -> (H, 1, page) when page < 128 lanes
+        # scores: H-batched (1, D) x (D, page) on the MXU — the exact
+        # formulation of the contiguous kernel (fused_decode.py:110-113).
+        # Mosaic can only lane-reshape (H, page) <-> (H, 1, page) when
+        # page >= 128, hence the page-size floor in the wrapper.
         s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (H, page)
+            q[:, None, :], k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]  # (H, page)
         s = s * ksbuf[slot, 0]
         col = j * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, _NEG_INF)
@@ -193,9 +197,9 @@ def _kernel_pq(layer_ref, len_ref, table_ref,
         v = vbuf[slot, 0].astype(jnp.bfloat16)  # (H, page, D)
         p_scaled = (p * vsbuf[slot, 0]).astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
-            p_scaled, v,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (H, D)
+            p_scaled[:, None, :], v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]  # (H, D)
         acc = acc * alpha + pv
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         return new_m, l, acc
@@ -287,9 +291,9 @@ def _kernel_p(layer_ref, len_ref, table_ref,
 
         k = kbuf[slot, 0].astype(compute_t)  # (H, page, D)
         s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (H, page)
+            q[:, None, :], k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]  # (H, page)
         col = j * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, _NEG_INF)
 
@@ -308,9 +312,9 @@ def _kernel_p(layer_ref, len_ref, table_ref,
 
         v = vbuf[slot, 0].astype(compute_t)
         pv = jax.lax.dot_general(
-            p.astype(compute_t), v,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+            p.astype(compute_t)[:, None, :], v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]
         acc = acc * alpha + pv
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         return new_m, l, acc
@@ -352,6 +356,13 @@ def paged_fused_decode_q(
     win = 32  # int8 sublane tile
     if page % win:
         raise ValueError(f"page_size {page} must be a multiple of {win}")
+    if not interpret and page < 128:
+        # Mosaic cannot lane-reshape (H, page) <-> (H, 1, page) below one
+        # full 128-lane register (measured: "unsupported shape cast" /
+        # dot-attr parse failures at page=64); serve/paged.py defaults to
+        # page_size=128 and the XLA reference path covers smaller pages.
+        raise ValueError(
+            f"page_size {page} < 128 unsupported by the fused TPU kernel")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # layer, lengths, page_table
@@ -447,6 +458,9 @@ def paged_fused_decode(
     win = 8 if k_pages.dtype == jnp.float32 else 16
     if page % win:
         raise ValueError(f"page_size {page} must be a multiple of {win}")
+    if not interpret and page < 128:
+        raise ValueError(
+            f"page_size {page} < 128 unsupported by the fused TPU kernel")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

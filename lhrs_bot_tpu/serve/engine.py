@@ -88,12 +88,16 @@ def _is_host_tree(llama_params) -> bool:
         for w in llama_params["layers"].values())
 
 
-def _host_merge_quantize(params, cfg, compute_dtype, lm_head_bits=None):
-    """LoRA merge + symmetric per-channel int8, entirely in numpy.
+def _host_merge_quantize(params, cfg, compute_dtype, lm_head_bits=None,
+                         bits=8):
+    """LoRA merge + symmetric per-channel quantization, entirely in numpy.
 
     merge_and_unload parity (UniBind.py:110-116) followed by the bits-8
-    recipe (text_modal.py:91-109), with the device footprint capped at the
-    int8 result: full-precision merged weights never leave the host."""
+    recipe (text_modal.py:91-109) — or, with bits="4h", the halves-packed
+    int4 layout the Pallas W4A8 decode matmul streams (ops/w4_matmul.py;
+    numerically identical to ops.quant.quantize_int4h) — with the device
+    footprint capped at the quantized result: full-precision merged
+    weights never leave the host."""
     from ..ops.quant import _QUANT_TARGETS, QuantizedTensor
 
     llama = params["llama"]
@@ -111,10 +115,19 @@ def _host_merge_quantize(params, cfg, compute_dtype, lm_head_bits=None):
         if name in _QUANT_TARGETS:
             wf = w.astype(np.float32)
             absmax = np.abs(wf).max(axis=1, keepdims=True)
-            scale = np.where(absmax == 0, 1.0, absmax / 127.0)
-            q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
-            out_layers[name] = QuantizedTensor(
-                q=q, scale=scale.astype(np.float32), bits=8)
+            if bits == "4h":
+                scale = np.where(absmax == 0, 1.0, absmax / 7.0)
+                q = np.clip(np.round(wf / scale), -7, 7).astype(np.int8)
+                n = q.shape[1] // 2  # pack_int4_halves, numpy
+                packed = ((q[:, :n, :] & 0x0F)
+                          | ((q[:, n:, :] & 0x0F) << 4)).astype(np.int8)
+                out_layers[name] = QuantizedTensor(
+                    q=packed, scale=scale.astype(np.float32), bits="4h")
+            else:
+                scale = np.where(absmax == 0, 1.0, absmax / 127.0)
+                q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+                out_layers[name] = QuantizedTensor(
+                    q=q, scale=scale.astype(np.float32), bits=8)
         else:
             out_layers[name] = w.astype(compute_dtype)
     top = {
@@ -179,14 +192,15 @@ class GenerationEngine:
         # self.llama_params, cast/quantized below)
         self.params = {k: v for k, v in params.items()
                        if k not in ("llama", "lora")}
-        if quantize_bits == 8 and _is_host_tree(params["llama"]):
-            # 7B + int8 from host checkpoints: merge LoRA and quantize in
-            # NUMPY so the chip only ever receives the int8 result. The
-            # device-side path below peaks at merged-bf16 (13.2 GB) PLUS
-            # int8 (6.6 GB) — past 16 GB of HBM, with the OOM surfacing
-            # lazily at the first real execution.
+        if quantize_bits in (8, "4h") and _is_host_tree(params["llama"]):
+            # 7B + int weights from host checkpoints: merge LoRA and
+            # quantize in NUMPY so the chip only ever receives the int8 /
+            # packed-int4 result. The device-side path below peaks at
+            # merged-bf16 (13.2 GB) PLUS the quantized copy — past 16 GB
+            # of HBM, with the OOM surfacing lazily at first execution.
             self.llama_params = _host_merge_quantize(
-                params, cfg, compute_dtype, lm_head_bits=lm_head_bits)
+                params, cfg, compute_dtype, lm_head_bits=lm_head_bits,
+                bits=quantize_bits)
         else:
             self.llama_params = jax.tree_util.tree_map(
                 lambda x: x.astype(compute_dtype)
@@ -202,11 +216,13 @@ class GenerationEngine:
                 # so int8 weights halve HBM bytes per token
                 from ..ops.quant import quantize_llama_layers
 
+                bits, qt = ((4, "int4h") if quantize_bits == "4h"
+                            else (quantize_bits, quant_type))
                 self.llama_params = {
                     **self.llama_params,
                     "layers": quantize_llama_layers(
-                        self.llama_params["layers"], bits=quantize_bits,
-                        quant_type=quant_type, double_quant=double_quant),
+                        self.llama_params["layers"], bits=bits,
+                        quant_type=qt, double_quant=double_quant),
                 }
             from ..ops.quant import QuantizedTensor, quantize_int8
 

@@ -98,7 +98,7 @@ class PagedScheduler(ContinuousBatchingScheduler):
     _supports_spec = False  # KV rows live behind the page table
 
     def __init__(self, cfg, params, llama_params, *,
-                 num_pages: int, page_size: int = 64,
+                 num_pages: int, page_size: int = 128,
                  pages_per_seq: Optional[int] = None,
                  max_seq_len: Optional[int] = None,
                  prompt_bucket: int = 64,

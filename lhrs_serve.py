@@ -56,7 +56,7 @@ def main():
                            help="paged pool capacity in tokens (default: "
                                 "slots × S_max, i.e. same memory as the "
                                 "contiguous cache)"),
-            p.add_argument("--page-size", type=int, default=64),
+            p.add_argument("--page-size", type=int, default=128),
             p.add_argument("--prefill-chunk", type=int, default=0,
                            help="paged mode: run the prefill decoder over "
                                 "fixed-width embed chunks so one compiled "

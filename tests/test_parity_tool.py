@@ -108,7 +108,7 @@ def stat_report(tmp_path_factory):
          "--ckpt", ckpt, "--cpu", "--statistical", "8",
          "--new-tokens", "6", "--stat-text-min", "12",
          "--stat-text-max", "32",
-         "--configs", "bf16,f32,torch_bf16"],
+         "--configs", "bf16,f32,torch_bf16,w4a8"],
         capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
     assert run.returncode == 0, run.stderr[-2000:]
     line = run.stdout.strip().splitlines()[-1]
@@ -148,3 +148,18 @@ class TestStatisticalParity:
         s = stat_report["torch_bf16_vs_f32"]
         assert s["points"] == 8 * 7
         assert s["top5_overlap_mean"] > 4.0, s
+
+    def test_w4a8_deployed_recipe(self, stat_report):
+        """The serving headline recipe (halves-packed int4 weights + int8
+        lm_head + int8 KV): teacher-forced agreement must be noise-like
+        (int4 rounding is ~18x bf16's step, so the tolerances are wider
+        than bf16's but flips must still concentrate at low margins), and
+        the REAL deployed decode path must produce trajectories that
+        track the bf16 engine."""
+        s = stat_report["w4a8_vs_f32"]
+        assert s["points"] == 8 * 7
+        assert s["top1_agree_rate"] >= 0.6, s
+        assert s["top5_overlap_mean"] > 3.0, s
+        traj = stat_report["w4a8_traj_agreement"]
+        assert "identical_frac" in traj, traj
+        assert traj["matched_prefix_mean"] >= 1.0, traj

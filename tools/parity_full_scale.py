@@ -400,15 +400,24 @@ def stat_positions(lens, nq, n_new):
     return sp[:, None] - 1 + np.arange(n_new + 1)[None, :]
 
 
-def stat_make_trajectories(ckpt, cfg, ids, lens, pixels, n_new):
-    """bf16 serving-engine greedy trajectories (the shared teacher-forcing
-    token sequences). Cached; EOS-terminated rows are padded with token 1
-    (still well-defined teacher-forced inputs)."""
+def stat_make_trajectories(ckpt, cfg, ids, lens, pixels, n_new,
+                           name=None, **engine_kwargs):
+    """Serving-engine greedy trajectories through the REAL deployed path
+    (prefill + fused decode kernels + quantized KV). Default (name=None):
+    the bf16 engine — the shared teacher-forcing token sequences. With a
+    name + engine kwargs: the deployed-precision engine (int8 / W4A8
+    Pallas A8 kernel), used for trajectory-agreement statistics that the
+    teacher-forced llama_apply forward cannot capture (activation
+    quantization + int8-KV noise live only in the decode kernels).
+    Cached; EOS-terminated rows are padded with token 1 (still
+    well-defined teacher-forced inputs)."""
     import numpy as np
 
     import jax.numpy as jnp
 
-    path = os.path.join(ckpt, f"stat_traj_n{ids.shape[0]}_new{n_new}.npz")
+    tag = f"_{name}" if name else ""
+    path = os.path.join(
+        ckpt, f"stat_traj{tag}_n{ids.shape[0]}_new{n_new}.npz")
     if os.path.exists(path):
         return np.load(path)["tokens"], path
 
@@ -422,7 +431,7 @@ def stat_make_trajectories(ckpt, cfg, ids, lens, pixels, n_new):
     nq = cfg.pooler.num_query
     engine = GenerationEngine(
         cfg, params, max_seq_len=int(ids.shape[1] + nq + n_new + 8),
-        compute_dtype=jnp.bfloat16, cache_dtype=jnp.int8)
+        compute_dtype=jnp.bfloat16, cache_dtype=jnp.int8, **engine_kwargs)
     del params
     gc.collect()
     gen_cfg = GenerationConfig(max_new_tokens=n_new, do_sample=False,
@@ -485,7 +494,10 @@ def stat_run_ours_config(ckpt, cfg, name, ids, lens, pixels, traj, *,
         cfg, params, max_seq_len=int(ext.shape[1] + nq + 8),
         compute_dtype=compute_dtype,
         cache_dtype=cache_dtype or compute_dtype,
-        quantize_bits=8 if quantize else None,
+        quantize_bits=("4h" if quantize == "4h"
+                       else 8 if quantize else None),
+        # w4a8 is the full serving headline recipe incl. int8 unembedding
+        lm_head_bits=8 if quantize == "4h" else None,
         vision_w8a8=bool(quantize) and jax.default_backend() == "tpu")
     del params
     gc.collect()
@@ -680,6 +692,45 @@ def stat_compare(ref, cmp):
     }
 
 
+def stat_traj_compare(ckpt, ref, cmp):
+    """Greedy-trajectory agreement vs the bf16 engine, through the REAL
+    deployed decode path. Divergence cascades (one flip changes every
+    later input), so the honest statistics are prefix-based: the
+    identical-trajectory fraction, matched-prefix lengths, and the
+    reference logit margin AT each first-divergence position — precision
+    noise diverges at low-margin steps only, a convention bug in the
+    deployed kernels diverges at high-margin steps too."""
+    import numpy as np
+
+    n, n_new = ref.shape
+    neq = ref != cmp
+    first = np.where(neq.any(1), neq.argmax(1), n_new)
+    out = {"identical_frac": round(float((first == n_new).mean()), 4),
+           "matched_prefix_mean": round(float(first.mean()), 2),
+           "matched_prefix_min": int(first.min())}
+    for name in ("f32", "bf16"):
+        p = os.path.join(ckpt, f"stat_logits_{name}.npz")
+        if not os.path.exists(p):
+            continue
+        logits = np.load(p)["logits"]  # (N, n_new+1, V) @ bf16-traj inputs
+        margins = []
+        for i in range(n):
+            j = int(first[i])
+            if j >= n_new:
+                continue
+            row = np.partition(logits[i, j], -2)
+            margins.append(float(row[-1] - row[-2]))
+        out["margin_ref"] = name
+        if margins:
+            m = np.asarray(margins)
+            out["margin_at_divergence"] = {
+                "n": int(m.size),
+                "p50": round(float(np.percentile(m, 50)), 3),
+                "max": round(float(m.max()), 3)}
+        break
+    return out
+
+
 def run_statistical(args, cfg):
     """Drive the statistical mode for the configs requested in THIS
     process; emit/merge the 'statistical' report section from whatever
@@ -703,6 +754,10 @@ def run_statistical(args, cfg):
     ours = {"bf16": dict(quantize=False, compute_dtype=jnp.bfloat16,
                          cache_dtype=jnp.int8),
             "int8": dict(quantize=True, compute_dtype=jnp.bfloat16,
+                         cache_dtype=jnp.int8),
+            # the serving headline recipe (bench.py / SERVING_r04):
+            # halves-packed W4A8 weights + int8 lm_head + int8 KV
+            "w4a8": dict(quantize="4h", compute_dtype=jnp.bfloat16,
                          cache_dtype=jnp.int8),
             "f32": dict(quantize=False, compute_dtype=jnp.float32,
                         cache_dtype=jnp.float32)}
@@ -733,6 +788,28 @@ def run_statistical(args, cfg):
         except Exception as exc:  # noqa: BLE001 — keep earlier configs
             report[f"{c}_error"] = str(exc)[:300]
 
+    # Deployed-path trajectory agreement: the teacher-forced forwards
+    # above run llama_apply, which cannot see the decode kernels'
+    # activation quantization (W4A8's A8 path) or int8-KV rounding. A
+    # greedy trajectory through the real engine at each deployed
+    # precision, diffed against the bf16-engine trajectories, is the
+    # end-to-end signal for those.
+    eng_kwargs = {"int8": dict(quantize_bits=8),
+                  "w4a8": dict(quantize_bits="4h", lm_head_bits=8)}
+    for c in wanted:
+        if c not in eng_kwargs:
+            continue
+        try:
+            t0 = time.time()
+            tcfg, _ = stat_make_trajectories(
+                args.ckpt, cfg, ids, lens, pixels, n_new, name=c,
+                **eng_kwargs[c])
+            report[f"{c}_traj_agreement"] = stat_traj_compare(
+                args.ckpt, traj, tcfg)
+            report[f"{c}_traj_run_s"] = round(time.time() - t0, 1)
+        except Exception as exc:  # noqa: BLE001 — keep earlier configs
+            report[f"{c}_traj_error"] = str(exc)[:300]
+
     # comparisons from whatever artifacts exist
     def load(name):
         p = os.path.join(args.ckpt, f"stat_logits_{name}.npz")
@@ -740,7 +817,7 @@ def run_statistical(args, cfg):
 
     f32 = load("f32")
     if f32 is not None:
-        for c in ("bf16", "int8", "torch_bf16", "torch_f32"):
+        for c in ("bf16", "int8", "w4a8", "torch_bf16", "torch_f32"):
             arr = load(c)
             if arr is not None:
                 report[f"{c}_vs_f32"] = stat_compare(f32, arr)
@@ -764,7 +841,9 @@ def main():
     ap.add_argument("--skip-int8", action="store_true")
     ap.add_argument(
         "--configs", default="bf16,int8",
-        help="comma list of {bf16,int8,f32}. f32 runs OUR pipeline in "
+        help="comma list of {bf16,int8,w4a8,f32} (w4a8: statistical mode "
+        "only — the W4A8+int8-lm_head+int8-KV serving headline recipe). "
+        "f32 runs OUR pipeline in "
         "float32 (CPU backend: 27 GB of weights do not fit 16 GB HBM) — "
         "an f32-vs-f32 cross-implementation check whose accumulation "
         "noise is near zero, so greedy tokens must agree exactly even on "
