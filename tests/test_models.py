@@ -132,6 +132,24 @@ class TestPerceiver:
                / max(np.linalg.norm(ref_q), 1e-9))
         assert rel < 0.05, rel
 
+    def test_batch_groups_matches_loop(self):
+        # batch_groups folds the level groups into the batch axis (queries
+        # zero-padded to the largest group, pad slots masked out of kv);
+        # numerics must match the per-group loop exactly up to fp32
+        # rounding. Guards the perceiver-probe lever (VERDICT r3 #2).
+        cfg = PerceiverConfig.tiny_test()
+        assert len(set(cfg.split_part)) == 1  # the fold requires equal kv
+        params = init_perceiver_params(jax.random.PRNGKey(0), cfg)
+        img = jax.random.normal(jax.random.PRNGKey(1),
+                                (2, sum(cfg.split_part),
+                                 cfg.encoder_hidden_size))
+        ref = np.asarray(perceiver_resample(params, img, cfg,
+                                            compute_dtype=F32))
+        out = np.asarray(perceiver_resample(params, img, cfg,
+                                            compute_dtype=F32,
+                                            batch_groups=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
     def test_level_locality(self):
         # queries of group 0 attend only to level-0 tokens: perturbing level 2
         # must not change group-0 outputs
