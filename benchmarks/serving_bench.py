@@ -228,8 +228,13 @@ def main():
         report["prefix_len"] = args.prefix_len
         report["suffix_len"] = args.suffix_len
         report["requests"] = n_reqs
-        # compile pass (prefill buckets + tick), then the measured run
+        # compile pass (prefill buckets + tick), then the measured run.
+        # Two waves: the first is cold (full-prompt shapes), the second
+        # hits the pool the first seeded, compiling the suffix-width
+        # hit-path programs — both shape families must be warm before
+        # the timed run.
         sched.run(make_prefix_reqs(args.slots, seed=1))
+        sched.run(make_prefix_reqs(args.slots, seed=11))
         t0 = time.perf_counter()
         done = sched.run(make_prefix_reqs(n_reqs, seed=2))
         wall = time.perf_counter() - t0

@@ -172,11 +172,17 @@ class PagedScheduler(ContinuousBatchingScheduler):
         over `prefill_chunk`-wide slices of the spliced embeds on the
         host. For suffix-exhausted rows a chunk's ctx_len may be
         page-UNaligned (ctx + full suffix) — harmless, they write
-        nothing."""
+        nothing.
+
+        The chunk width adapts to the admission: a prefix-HIT wave whose
+        suffixes are 64 tokens runs a 64-wide program, not a full
+        `prefill_chunk`-wide one padded 8x with dead rows — otherwise a
+        cache hit costs as much prefill compute as a cold chunk and the
+        prefix pool can never win end-to-end."""
         table_rows, ctx = extra
         emb, spl_len = self._splice_jit(params, llama_params, input_ids,
                                         images, seq_lens)
-        w = self.prefill_chunk
+        w = min(self.prefill_chunk, emb.shape[1])
         s = emb.shape[1]
         n_chunks = -(-s // w)
         if s < n_chunks * w:
