@@ -47,7 +47,7 @@ def main():
         extra=lambda p: (
             p.add_argument("--port", type=int, default=8000),
             p.add_argument("--slots", type=int, default=8),
-            p.add_argument("--tokens-per-tick", type=int, default=8),
+            p.add_argument("--tokens-per-tick", type=int, default=16),
             p.add_argument("--temperature", type=float, default=0.0,
                            help="0 → greedy (the eval protocol default)"),
             p.add_argument("--paged", action="store_true",
