@@ -126,7 +126,7 @@ def main():
     ap.add_argument("--lm-head-bits", type=int, default=0,
                     help="8: int8 unembedding (engine lm_head_bits)")
     ap.add_argument("--workload", default="mix",
-                    choices=("mix", "prefix-heavy"),
+                    choices=("mix", "prefix-heavy", "mixed-budget"),
                     help="prefix-heavy: many short sessions sharing one "
                          "long system prompt (--prefix-len + unique "
                          "--suffix-len tails, --requests total), run to "
@@ -135,6 +135,13 @@ def main():
                          "once; contiguous re-prefills it per request")
     ap.add_argument("--prefix-len", type=int, default=1024)
     ap.add_argument("--suffix-len", type=int, default=64)
+    ap.add_argument("--budget-mix", default="16,32,64,128",
+                    help="mixed-budget workload: cycled max_new_tokens — "
+                         "heterogeneous completions + a waiting queue are "
+                         "where the adaptive tick shrink pays (slots free "
+                         "at the earliest completion instead of idling "
+                         "through full-length ticks); measured with "
+                         "adaptive on vs off on the same scheduler")
     ap.add_argument("--requests", type=int, default=0,
                     help="prefix-heavy total requests (default 4x slots)")
     ap.add_argument("--ticks", default="8,1",
@@ -227,6 +234,51 @@ def main():
             cfg, {}, llama_params, max_batch=args.slots,
             max_seq_len=args.max_seq_len, tokens_per_tick=8,
             cache_dtype=cache_dtype, gen_cfg=gen_cfg, prompt_bucket=64)
+    if args.workload == "mixed-budget":
+        sched.set_tokens_per_tick(ticks[0])  # first --ticks entry
+        budget_mix = [int(x) for x in args.budget_mix.split(",")]
+        n_reqs = args.requests or 4 * args.slots
+        report["budget_mix"] = budget_mix
+        report["requests"] = n_reqs
+
+        def make_mixed(seed):
+            r = np.random.default_rng(seed)
+            reqs = [Request(
+                uid=_uid[0] + i,
+                input_ids=r.integers(
+                    3, 30000, size=(mix[i % len(mix)],)).astype(np.int32),
+                max_new_tokens=budget_mix[i % len(budget_mix)])
+                for i in range(n_reqs)]
+            _uid[0] += n_reqs
+            return reqs
+
+        # warm pass per mode: the adaptive run compiles its pow2 tick
+        # ladder, the fixed run the full-k program + prefill buckets
+        for adaptive in (True, False):
+            sched.adaptive_tick = adaptive
+            tag = "adaptive" if adaptive else "fixed"
+            t0 = time.perf_counter()
+            sched.run(make_mixed(1))
+            results[f"compile_s_{tag}"] = round(time.perf_counter() - t0, 1)
+            t0 = time.perf_counter()
+            done = sched.run(make_mixed(2))
+            wall = time.perf_counter() - t0
+            out_toks = sum(len(r.output_ids) for r in done)
+            results[f"mixed_budget_wall_s_{tag}"] = round(wall, 2)
+            results[f"mixed_budget_out_tok_s_{tag}"] = round(
+                out_toks / wall, 1)
+        fixed = results.get("mixed_budget_wall_s_fixed")
+        adapt = results.get("mixed_budget_wall_s_adaptive")
+        report.update(results)
+        print(json.dumps({
+            "metric": "serving_mixed_budget_adaptive_speedup",
+            "value": round(fixed / adapt, 3) if fixed and adapt else None,
+            "unit": f"x wall-time ({n_reqs} reqs, budgets {budget_mix}, "
+                    f"k={sched.tokens_per_tick})",
+            "extra": report,
+        }))
+        return
+
     if args.workload == "prefix-heavy":
         n_reqs = args.requests or 4 * args.slots
         report["prefix_len"] = args.prefix_len

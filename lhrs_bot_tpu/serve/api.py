@@ -254,7 +254,8 @@ class ServingFrontend:
 
     def stats(self) -> Dict[str, int]:
         return {"active": int(self.sched.active.sum()),
-                "queued": self._queue.qsize()}
+                "queued": self._queue.qsize(),
+                "last_tick_k": int(getattr(self.sched, "last_tick_k", 0))}
 
     def shutdown(self) -> None:
         self._stop.set()
@@ -288,7 +289,7 @@ class ServingFrontend:
                     pending = pending[len(admitted):]
                     self._inflight = self._inflight + admitted
                 if self.sched.active.any():
-                    self.sched.step()
+                    self.sched.step(waiting=len(pending))
                 else:
                     self._stop.wait(self._poll)
             except Exception as exc:  # noqa: BLE001 — worker must survive

@@ -82,8 +82,10 @@ class ContinuousBatchingScheduler:
         mesh=None,  # jax.sharding.Mesh → TP-sharded decoder + KV cache
         speculative: int = 0,  # prompt-lookup window per round (greedy)
         spec_ngram: int = 2,
+        adaptive_tick: bool = True,  # shrink ticks near completions
     ):
         self.cfg = cfg
+        self.adaptive_tick = bool(adaptive_tick)
         self.mesh = mesh
         # vision-side subtrees only — raw llama weights must not become an
         # unused jit argument of the prefill (see engine.py)
@@ -140,10 +142,13 @@ class ContinuousBatchingScheduler:
                                     static_argnames=("width",),
                                     donate_argnums=(4,))
         self._tick_jit = jax.jit(self._tick, donate_argnums=(2,),
-                                 static_argnames=("sample",))
+                                 static_argnames=("k", "sample"))
         self._spec_tick_jit = jax.jit(
             self._spec_tick, donate_argnums=(2,),
             static_argnames=("width", "ngram", "rounds", "sample"))
+        # the k actually dispatched by the last step() (observability +
+        # tests of the adaptive shrink)
+        self.last_tick_k = 0
 
     @staticmethod
     def _bucket_sizes(n: int):
@@ -171,11 +176,40 @@ class ContinuousBatchingScheduler:
         self.speculative = int(width)
 
     def set_tokens_per_tick(self, k: int) -> None:
-        """Change the decode chunk size; only the tick program recompiles
-        (the prefill programs are unaffected)."""
+        """Change the decode chunk size; no re-jit needed — the scan
+        length is a static argument of the tick program, so jit caches
+        one compiled program per k value it actually sees."""
         self.tokens_per_tick = max(1, int(k))
-        self._tick_jit = jax.jit(self._tick, donate_argnums=(2,),
-                                 static_argnames=("sample",))
+
+    # a masked (all-frozen) scan step costs one weight read (~12 ms at 7B
+    # int8) vs ~50 ms of host sync per extra dispatch — overshooting the
+    # target by up to sync/step masked steps is cheaper than cascading
+    # another tick (measured: docs/SERVING.md tick-amortization numbers)
+    _TICK_OVERSHOOT_MAX = 4
+
+    def _tick_k(self, waiting: bool) -> int:
+        """Adaptive tick size: never scan far past the point every slot is
+        frozen, and shrink to the earliest scheduled completion when
+        requests are waiting for a slot (a freed slot is only admittable
+        BETWEEN ticks, so a full-k tick delays backfill by up to k-1
+        steps). Snapped to a power of two to bound the number of compiled
+        tick programs at log2(k_max): rounded UP when the overshoot is at
+        most _TICK_OVERSHOOT_MAX masked steps (one dispatch, tiny waste),
+        DOWN otherwise (the remainder re-decides next tick). EOS can't be
+        predicted, so this only tightens budget-limited completions."""
+        k = self.tokens_per_tick
+        if not self.adaptive_tick:
+            return k
+        budgets = self.slot_budget[self.active]
+        if k <= 1 or budgets.size == 0:
+            return 1
+        cap = max(1, int(budgets.min() if waiting else budgets.max()))
+        if cap >= k:
+            return k
+        up = 1 << (cap - 1).bit_length()  # pow2 >= cap
+        if up - cap <= self._TICK_OVERSHOOT_MAX:
+            return min(k, up)
+        return up // 2
 
     # -- cache-strategy hooks (overridden by the paged scheduler) -------------
 
@@ -268,8 +302,8 @@ class ContinuousBatchingScheduler:
         return first, new_cache
 
     def _tick(self, llama_params, tokens, cache, active, budgets, rng,
-              temps, top_ps, *, sample: bool):
-        """`tokens_per_tick` decode steps over all slots in one lax.scan.
+              temps, top_ps, *, k: int, sample: bool):
+        """`k` decode steps over all slots in one lax.scan.
 
         A slot freezes the moment it emits EOS or exhausts its budget:
         its cache length stops growing and later emissions are masked to
@@ -301,7 +335,7 @@ class ContinuousBatchingScheduler:
             new_cache = self._freeze_lengths(new_cache, cache, act)
             return (emit, new_cache, new_act, budg), (emit, act)
 
-        rngs = jax.random.split(rng, self.tokens_per_tick)
+        rngs = jax.random.split(rng, k)
         (_, cache, _, _), (toks, live) = jax.lax.scan(
             body, (tokens, cache, active, budgets), rngs)
         return toks, live, cache
@@ -589,16 +623,20 @@ class ContinuousBatchingScheduler:
             hlen[slot] = len(toks)
         return hist, hlen
 
-    def _step_speculative(self) -> int:
+    def _step_speculative(self, waiting: bool = False) -> int:
         hist, hlen = self._history_arrays()
         self._rng, step_rng = jax.random.split(self._rng)
+        # each round advances an active slot by >= 1 token, so the
+        # budget-based cap is safe for rounds too (never under-serves)
+        rounds = self._tick_k(waiting)
+        self.last_tick_k = rounds
         toks, live, self.cache = self._spec_tick_jit(
             self.llama_params, jnp.asarray(self.last_tokens), self.cache,
             jnp.asarray(self.active), jnp.asarray(self.slot_budget),
             jnp.asarray(hist), jnp.asarray(hlen), step_rng,
             jnp.asarray(self.slot_temp), jnp.asarray(self.slot_top_p),
             width=self.speculative, ngram=self.spec_ngram,
-            rounds=self.tokens_per_tick,
+            rounds=rounds,
             sample=bool(self.slot_temp[self.active].max(initial=0.0) > 0))
         toks_host = np.asarray(toks)   # (rounds, B, W+1)
         live_host = np.asarray(live)
@@ -609,21 +647,28 @@ class ContinuousBatchingScheduler:
                         self._push_token(slot, int(toks_host[r, slot, i]))
         return int(self.active.sum())
 
-    def step(self) -> int:
-        """One decode tick (= `tokens_per_tick` tokens per active slot in a
-        single dispatch) over all slots; returns #still-active."""
+    def step(self, waiting: int = 0) -> int:
+        """One decode tick (up to `tokens_per_tick` tokens per active slot
+        in a single dispatch) over all slots; returns #still-active.
+
+        `waiting` = number of requests queued for a slot: the tick then
+        shrinks to the earliest scheduled completion (see _tick_k) so the
+        freed slot backfills at the next admission instead of idling
+        through the rest of a full-length tick."""
         if not self.active.any():
             return 0
         if self.speculative > 0:
             # sampling slots participate via the exact rejection rule
             # (accept_window_sampled); greedy slots keep argmax acceptance
-            return self._step_speculative()
+            return self._step_speculative(waiting=waiting > 0)
         self._rng, step_rng = jax.random.split(self._rng)
+        k = self._tick_k(waiting > 0)
+        self.last_tick_k = k
         toks, live, self.cache = self._tick_jit(
             self.llama_params, jnp.asarray(self.last_tokens), self.cache,
             jnp.asarray(self.active), jnp.asarray(self.slot_budget),
             step_rng, jnp.asarray(self.slot_temp),
-            jnp.asarray(self.slot_top_p),
+            jnp.asarray(self.slot_top_p), k=k,
             sample=bool(self.slot_temp[self.active].max(initial=0.0) > 0))
         toks_host = np.asarray(toks)   # (k, B)
         live_host = np.asarray(live)   # (k, B) — which emissions were real
@@ -643,5 +688,5 @@ class ContinuousBatchingScheduler:
             if pending and self._free_slots():
                 n = self.admit(pending)
                 pending = pending[n:]
-            self.step()
+            self.step(waiting=len(pending))
         return requests

@@ -48,6 +48,10 @@ def main():
             p.add_argument("--port", type=int, default=8000),
             p.add_argument("--slots", type=int, default=8),
             p.add_argument("--tokens-per-tick", type=int, default=16),
+            p.add_argument("--no-adaptive-tick", action="store_true",
+                           help="always dispatch full-length ticks (the "
+                                "default shrinks ticks near scheduled "
+                                "completions and while requests queue)"),
             p.add_argument("--temperature", type=float, default=0.0,
                            help="0 → greedy (the eval protocol default)"),
             p.add_argument("--paged", action="store_true",
@@ -110,6 +114,7 @@ def main():
             max_seq_len=engine.max_seq_len,
             cache_dtype=engine.cache_dtype,
             tokens_per_tick=int(config.tokens_per_tick),
+            adaptive_tick=not getattr(config, "no_adaptive_tick", False),
             gen_cfg=gen_cfg,
             prefill_chunk=int(config.prefill_chunk) or None,
             # raises with a clear message if --speculative was also given
@@ -123,6 +128,7 @@ def main():
             max_seq_len=engine.max_seq_len,
             cache_dtype=engine.cache_dtype,
             tokens_per_tick=int(config.tokens_per_tick),
+            adaptive_tick=not getattr(config, "no_adaptive_tick", False),
             gen_cfg=gen_cfg,
             speculative=int(getattr(config, "speculative", 0)),
         )

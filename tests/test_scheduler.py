@@ -389,6 +389,67 @@ class TestMultiTokenTick:
 
         assert run(1) == run(8)
 
+    def test_adaptive_tick_policy(self, setup):
+        """_tick_k: full k while budgets allow; pow2-round-down to the max
+        remaining budget at the tail; to the MIN budget when requests are
+        waiting (a freed slot is only admittable between ticks)."""
+        cfg, params, engine, _ = setup
+        s = ContinuousBatchingScheduler(
+            cfg, params, engine.llama_params, max_batch=3, max_seq_len=96,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+            tokens_per_tick=16, eos_token_id=cfg.llama.eos_token_id,
+            prompt_bucket=16)
+        s.active[:] = [True, True, False]
+        s.slot_budget[:] = [3, 40, 0]
+        assert s._tick_k(False) == 16   # max budget 40 >= k
+        assert s._tick_k(True) == 4     # min budget 3 -> pow2 UP (cheap
+        #                                 overshoot beats a second dispatch)
+        s.slot_budget[:] = [9, 9, 0]
+        assert s._tick_k(False) == 8    # overshoot 7 > 4: round down; the
+        #                                 remainder re-decides next tick
+        s.slot_budget[:] = [1, 16, 0]
+        assert s._tick_k(True) == 1
+        assert s._tick_k(False) == 16
+        s.adaptive_tick = False
+        s.slot_budget[:] = [1, 16, 0]
+        assert s._tick_k(True) == 16    # knob off: always the full k
+
+    def test_adaptive_tick_matches_and_shrinks(self, setup):
+        """With more requests than slots, ticks shrink while the queue
+        waits (observable via last_tick_k) and greedy outputs stay
+        token-for-token identical to k=1."""
+        cfg, params, engine, _ = setup
+        rng = np.random.default_rng(11)
+        prompts = [rng.integers(3, 200, size=(n,)).astype(np.int32)
+                   for n in (5, 9, 7, 11, 6)]
+
+        def run(k, record=None):
+            sched = ContinuousBatchingScheduler(
+                cfg, params, engine.llama_params, max_batch=3,
+                max_seq_len=96, compute_dtype=jnp.float32,
+                cache_dtype=jnp.float32, tokens_per_tick=k,
+                eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16)
+            if record is not None:
+                orig = sched.step
+
+                def rec_step(waiting=0):
+                    n = orig(waiting=waiting)
+                    record.append(sched.last_tick_k)
+                    return n
+
+                sched.step = rec_step
+            reqs = [Request(uid=i, input_ids=p, max_new_tokens=3 + 2 * i)
+                    for i, p in enumerate(prompts)]
+            sched.run(reqs)
+            return [list(r.output_ids) for r in reqs]
+
+        ks = []
+        assert run(8, record=ks) == run(1)
+        # budgets 3/5/7 admitted first with 2 queued -> first tick must
+        # shrink to pow2(min budget 3) = 2, not the full 8
+        assert ks[0] == 2
+        assert any(k < 8 for k in ks)
+
     def test_budget_respected_mid_chunk(self, setup):
         """A 1-token budget inside an 8-token chunk must emit exactly one
         token (the scan freezes the slot after the budget hits zero)."""
