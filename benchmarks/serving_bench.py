@@ -252,14 +252,17 @@ def main():
             _uid[0] += n_reqs
             return reqs
 
-        # warm pass per mode: the adaptive run compiles its pow2 tick
-        # ladder, the fixed run the full-k program + prefill buckets
+        # warm pass per mode. NOTE: whichever mode runs first pays the
+        # compile cost for the programs both share (the full-k tick is in
+        # the adaptive pow2 ladder whenever budgets >= k, plus all prefill
+        # buckets), so only the FIRST tag's number is compile-dominated —
+        # the field is named warmup_s_* accordingly, not compile_s_*.
         for adaptive in (True, False):
             sched.adaptive_tick = adaptive
             tag = "adaptive" if adaptive else "fixed"
             t0 = time.perf_counter()
             sched.run(make_mixed(1))
-            results[f"compile_s_{tag}"] = round(time.perf_counter() - t0, 1)
+            results[f"warmup_s_{tag}"] = round(time.perf_counter() - t0, 1)
             t0 = time.perf_counter()
             done = sched.run(make_mixed(2))
             wall = time.perf_counter() - t0

@@ -82,7 +82,10 @@ class ContinuousBatchingScheduler:
         mesh=None,  # jax.sharding.Mesh → TP-sharded decoder + KV cache
         speculative: int = 0,  # prompt-lookup window per round (greedy)
         spec_ngram: int = 2,
-        adaptive_tick: bool = True,  # shrink ticks near completions
+        adaptive_tick: bool = False,  # shrink ticks near completions
+        # (default OFF until the on-chip mixed-budget measurement lands:
+        # the shrink trades ~50 ms host syncs for <=(k-1) ~12 ms masked
+        # steps, which can be a net loss under sustained load)
     ):
         self.cfg = cfg
         self.adaptive_tick = bool(adaptive_tick)
@@ -656,6 +659,7 @@ class ContinuousBatchingScheduler:
         freed slot backfills at the next admission instead of idling
         through the rest of a full-length tick."""
         if not self.active.any():
+            self.last_tick_k = 0  # idle must not report a stale tick size
             return 0
         if self.speculative > 0:
             # sampling slots participate via the exact rejection rule

@@ -48,10 +48,12 @@ def main():
             p.add_argument("--port", type=int, default=8000),
             p.add_argument("--slots", type=int, default=8),
             p.add_argument("--tokens-per-tick", type=int, default=16),
+            p.add_argument("--adaptive-tick", action="store_true",
+                           help="shrink ticks near scheduled completions "
+                                "and while requests queue (off by default "
+                                "pending the on-chip mixed-budget win)"),
             p.add_argument("--no-adaptive-tick", action="store_true",
-                           help="always dispatch full-length ticks (the "
-                                "default shrinks ticks near scheduled "
-                                "completions and while requests queue)"),
+                           help="(compat) explicit off — the default"),
             p.add_argument("--temperature", type=float, default=0.0,
                            help="0 → greedy (the eval protocol default)"),
             p.add_argument("--paged", action="store_true",
@@ -114,7 +116,9 @@ def main():
             max_seq_len=engine.max_seq_len,
             cache_dtype=engine.cache_dtype,
             tokens_per_tick=int(config.tokens_per_tick),
-            adaptive_tick=not getattr(config, "no_adaptive_tick", False),
+            adaptive_tick=(getattr(config, "adaptive_tick", False)
+                           and not getattr(config, "no_adaptive_tick",
+                                           False)),
             gen_cfg=gen_cfg,
             prefill_chunk=int(config.prefill_chunk) or None,
             # raises with a clear message if --speculative was also given
@@ -128,7 +132,9 @@ def main():
             max_seq_len=engine.max_seq_len,
             cache_dtype=engine.cache_dtype,
             tokens_per_tick=int(config.tokens_per_tick),
-            adaptive_tick=not getattr(config, "no_adaptive_tick", False),
+            adaptive_tick=(getattr(config, "adaptive_tick", False)
+                           and not getattr(config, "no_adaptive_tick",
+                                           False)),
             gen_cfg=gen_cfg,
             speculative=int(getattr(config, "speculative", 0)),
         )

@@ -70,7 +70,7 @@ class TestFrontendRobustness:
                 r.done = True
             return len(reqs)
 
-        def step(self):
+        def step(self, waiting=0):
             return 0
 
     def test_worker_survives_scheduler_error(self):

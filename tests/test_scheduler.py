@@ -398,7 +398,7 @@ class TestMultiTokenTick:
             cfg, params, engine.llama_params, max_batch=3, max_seq_len=96,
             compute_dtype=jnp.float32, cache_dtype=jnp.float32,
             tokens_per_tick=16, eos_token_id=cfg.llama.eos_token_id,
-            prompt_bucket=16)
+            prompt_bucket=16, adaptive_tick=True)
         s.active[:] = [True, True, False]
         s.slot_budget[:] = [3, 40, 0]
         assert s._tick_k(False) == 16   # max budget 40 >= k
@@ -428,7 +428,8 @@ class TestMultiTokenTick:
                 cfg, params, engine.llama_params, max_batch=3,
                 max_seq_len=96, compute_dtype=jnp.float32,
                 cache_dtype=jnp.float32, tokens_per_tick=k,
-                eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16)
+                eos_token_id=cfg.llama.eos_token_id, prompt_bucket=16,
+                adaptive_tick=True)
             if record is not None:
                 orig = sched.step
 
