@@ -195,7 +195,30 @@ def main():
     # -- config 3: W4A8 halves-packed weights + int8 lm_head ----------------
     params = make_params(bits="4h", lm8=True)
     run_total("total_w4h_lm8", params, "4h", True)
+
+    # weights-only at the int4 stream: does the Pallas W4A8 matvec itself
+    # sustain the measured wall, or is the packed-halves stream slower?
+    run_w4 = jax.jit(lambda p, c, t: decode_scan(p, c, t, 8, B),
+                     donate_argnums=(1,))
+    dt_w4 = time_step(run_w4, params, int8_cache(B, 64), tok0)
+    report["weights_w4h_ms"] = dt_w4 * 1e3
+    report["weights_w4h_eff_gbs"] = wbytes("4h", True) / dt_w4 / 1e9
+    print(f"weights-only w4h+lm8 (S=64): {dt_w4*1e3:.2f} ms/step "
+          f"({wbytes('4h', True)/dt_w4/1e9:.0f} GB/s eff)", flush=True)
     del params
+
+    # -- attention kernel block_s sweep (the 1.71 ms vs 0.89 ms ideal gap:
+    # is it DMA granularity / loop overhead?) -------------------------------
+    for bs in (512, 1024, 2048):
+        run_bs = jax.jit(
+            lambda c, q, bs=bs: attn_scan(c, q, L0, B,
+                                          kernel_kwargs={"block_s": bs}),
+            donate_argnums=(0,))
+        dt_bs = time_step(run_bs, int8_cache(B, SMAX), q)
+        report[f"attn_bs{bs}_ms"] = dt_bs * 1e3
+        report[f"attn_bs{bs}_eff_gbs"] = (kv_bytes + sc_bytes) / dt_bs / 1e9
+        print(f"attention-only block_s={bs}: {dt_bs*1e3:.2f} ms/step "
+              f"({(kv_bytes+sc_bytes)/dt_bs/1e9:.0f} GB/s eff)", flush=True)
 
     print("ideal @670GB/s measured wall (int8):",
           f"weights {wbytes(8, True)/670e9*1e3:.2f} ms,",

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--configs", default="8:2,8:4,8:8,16:2,16:4")
+    ap.add_argument("--vmem-mb", type=int, default=0,
+                    help="raise the fused-block VMEM limit (MB) — the r3 "
+                         "attn_pair>=4 Mosaic crash class; 0 = kernel "
+                         "default (110)")
     ap.add_argument("--skip-glue", action="store_true",
                     help="skip the perceiver-only isolation run")
     args = ap.parse_args()
@@ -67,19 +71,20 @@ def main():
         return b * args.iters / (time.perf_counter() - t0)
 
     out = {}
+    vmem = args.vmem_mb * 1024 * 1024 or None
     for spec in args.configs.split(","):
         g, pair = (int(x) for x in spec.split(":"))
 
         @jax.jit
         def tower(vp_, packed_, imgs, g=g, pair=pair):
             f = vit_encode_fused(vp_, packed_, imgs, vit_cfg,
-                                 group=g, attn_pair=pair)
+                                 group=g, attn_pair=pair, vmem_limit=vmem)
             return jnp.sum(f.astype(jnp.float32))
 
         @jax.jit
         def combined(vp_, packed_, pp_, imgs, g=g, pair=pair):
             f = vit_encode_fused(vp_, packed_, imgs, vit_cfg,
-                                 group=g, attn_pair=pair)
+                                 group=g, attn_pair=pair, vmem_limit=vmem)
             return jnp.sum(perceiver_resample(
                 pp_, f, pool_cfg, compute_dtype=jnp.bfloat16))
 

@@ -252,6 +252,29 @@ def main():
             _uid[0] += n_reqs
             return reqs
 
+        def run_timed(reqs):
+            """sched.run with per-request completion timestamps (the
+            adaptive tick's claimed benefit is LATENCY under a waiting
+            queue — p50/p95 are the signal, wall alone can hide it)."""
+            t0 = time.perf_counter()
+            pending = list(reqs)
+            n = sched.admit(pending)
+            pending = pending[n:]
+            finish = {}
+            while sched.active.any() or pending:
+                if pending and sched._free_slots():
+                    n = sched.admit(pending)
+                    pending = pending[n:]
+                sched.step(waiting=len(pending))
+                now = time.perf_counter() - t0
+                for r in reqs:
+                    if r.done and r.uid not in finish:
+                        finish[r.uid] = now
+            lat = sorted(finish.values())
+            return (time.perf_counter() - t0,
+                    sum(len(r.output_ids) for r in reqs),
+                    lat[len(lat) // 2], lat[int(len(lat) * 0.95)])
+
         # warm pass per mode. NOTE: whichever mode runs first pays the
         # compile cost for the programs both share (the full-k tick is in
         # the adaptive pow2 ladder whenever budgets >= k, plus all prefill
@@ -263,13 +286,12 @@ def main():
             t0 = time.perf_counter()
             sched.run(make_mixed(1))
             results[f"warmup_s_{tag}"] = round(time.perf_counter() - t0, 1)
-            t0 = time.perf_counter()
-            done = sched.run(make_mixed(2))
-            wall = time.perf_counter() - t0
-            out_toks = sum(len(r.output_ids) for r in done)
+            wall, out_toks, p50, p95 = run_timed(make_mixed(2))
             results[f"mixed_budget_wall_s_{tag}"] = round(wall, 2)
             results[f"mixed_budget_out_tok_s_{tag}"] = round(
                 out_toks / wall, 1)
+            results[f"mixed_budget_p50_s_{tag}"] = round(p50, 2)
+            results[f"mixed_budget_p95_s_{tag}"] = round(p95, 2)
         fixed = results.get("mixed_budget_wall_s_fixed")
         adapt = results.get("mixed_budget_wall_s_adaptive")
         report.update(results)
@@ -345,8 +367,17 @@ def main():
 
     if args.paged:
         # prefix-cache effect: identical prompts twice — the second
-        # admission prefills only the uncached suffix (one partial page)
+        # admission prefills only the uncached suffix (one partial page).
+        # The hit path reuses the SAME jitted program family as a dense
+        # prefill, keyed only on (chunk, width) — but at suffix widths
+        # (= prompt_bucket-rounded page remainders) that no cold wave
+        # ever compiles. An untimed identical pair runs first to warm
+        # those programs; without it the "hit" number times a program
+        # build and reads SLOWER than the miss (the round-4 artifact
+        # inversion: 2.45 s hit vs 2.11 s cold).
         try:
+            run_schedule(sched, make_reqs(seed=122))  # seeds the pool
+            run_schedule(sched, make_reqs(seed=122))  # builds hit widths
             ttft_cold, _ = run_schedule(sched, make_reqs(seed=123))
             ttft_hit, _ = run_schedule(sched, make_reqs(seed=123))
             results["ttft_s_prefix_cold"] = round(ttft_cold, 3)

@@ -195,6 +195,8 @@ def vit_encode_fused(
     attn_pair: int = 2,  # images per block-diagonal attention matmul
     split_attention: bool = False,  # NEGATIVE result: 612 vs 1061 img/s
                                     # tower (see ops/vit_block.py docstring)
+    vmem_limit: Optional[int] = None,  # raise for attn_pair>=4 retries
+                                       # (r3 crash class; see w4_matmul)
 ) -> jnp.ndarray:
     """Multi-level encode through the fused W8A8 Pallas block kernel
     (ops/vit_block.py). `packed_layers` comes from pack_vit_layers_fused.
@@ -246,10 +248,11 @@ def vit_encode_fused(
         return out.reshape(b, s_pad, cfg.width), None
 
     def body_block(carry, lp):
+        kw = {} if vmem_limit is None else {"vmem_limit": vmem_limit}
         out = fused_vit_block(
             carry, lp, heads=cfg.heads, s_valid=s, ln_eps=cfg.ln_eps,
             quick_gelu=cfg.quick_gelu, interpret=interpret, group=group,
-            attn_pair=attn_pair)
+            attn_pair=attn_pair, **kw)
         return out, None
 
     body = body_split if split_attention else body_block

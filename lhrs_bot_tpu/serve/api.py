@@ -218,16 +218,29 @@ class ServingFrontend:
             self._cancelled.add(uid)
         return True
 
-    def warmup(self, prompt_lens=(64, 256, 1024), batches=(1, 2),
+    def warmup(self, prompt_lens=(64, 256, 1024), batches=None,
                max_new: int = 9) -> float:
         """Pre-compile the serving programs (prefill buckets × admission
         chunk sizes + the decode tick) by running dummy generations
         through the scheduler BEFORE the port binds. With the persistent
         compilation cache this is one-time per release; without it, it
         moves the minutes-long 7B compile cliff from the first user
-        request to startup. Returns elapsed seconds."""
+        request to startup. Returns elapsed seconds.
+
+        `batches` defaults to the full power-of-two admission-chunk
+        ladder up to max_batch: a prefix-cache HIT wave admits b
+        suffix-width rows for any b the traffic produces, and the first
+        (b, width) pair not warmed here compiles inside a user's TTFT
+        (the round-4 hit-slower-than-miss artifact). Each prompt_lens
+        entry is rounded up by the scheduler's own prompt bucketing, so
+        the warmed width set IS the hit-suffix width family."""
         import time
 
+        if batches is None:
+            b, batches = 1, []
+            while b <= self.sched.max_batch:
+                batches.append(b)
+                b *= 2
         t0 = time.monotonic()
         rng = np.random.default_rng(0)
         vocab = getattr(getattr(self.sched, "cfg", None), "llama", None)
@@ -253,9 +266,15 @@ class ServingFrontend:
         return dt
 
     def stats(self) -> Dict[str, int]:
-        return {"active": int(self.sched.active.sum()),
+        active = int(self.sched.active.sum())
+        # the worker never step()s an idle scheduler, so the scheduler's
+        # own idle reset can't fire here — gate on active so an idle
+        # server reads last_tick_k=0 instead of its final dispatch size
+        return {"active": active,
                 "queued": self._queue.qsize(),
-                "last_tick_k": int(getattr(self.sched, "last_tick_k", 0))}
+                "last_tick_k":
+                    int(getattr(self.sched, "last_tick_k", 0))
+                    if active else 0}
 
     def shutdown(self) -> None:
         self._stop.set()
