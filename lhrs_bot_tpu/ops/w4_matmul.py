@@ -40,20 +40,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(layer_ref, xlo_ref, xhi_ref, xs_ref, w_ref, ws_ref, out_ref):
+def _kernel(layer_ref, xlo_ref, xhi_ref, xs_ref, w_ref, ws_ref, out_ref,
+            *, unpack: str = "i32"):
     del layer_ref  # consumed by the BlockSpec index maps
-    # Mosaic cannot legalize i8-vector shifts (arith.shli on vector<i8>
-    # fails); widen to i32, shift, and narrow back — the VPU unpack cost
-    # (~2 us/1 MB block) hides under the ~2.5 us block DMA.
-    w32 = w_ref[0].astype(jnp.int32)  # (K2, NB), two nibbles per byte
-    lo = ((w32 << 28) >> 28).astype(jnp.int8)  # sign-extended rows [0, K/2)
-    hi = (w32 >> 4).astype(jnp.int8)           # arithmetic: rows [K/2, K)
-    acc = jax.lax.dot_general(
-        xlo_ref[...], lo, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    acc += jax.lax.dot_general(
-        xhi_ref[...], hi, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+    w = w_ref[0]  # (K2, NB) int8, two nibbles per byte
+    if unpack == "i32":
+        # Mosaic cannot legalize i8-vector shifts (arith.shli on vector<i8>
+        # fails); widen to i32, shift, and narrow back.
+        w32 = w.astype(jnp.int32)
+        lo = ((w32 << 28) >> 28).astype(jnp.int8)  # sign-ext rows [0, K/2)
+        hi = (w32 >> 4).astype(jnp.int8)           # arithmetic: [K/2, K)
+        acc = jax.lax.dot_general(
+            xlo_ref[...], lo, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc += jax.lax.dot_general(
+            xhi_ref[...], hi, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    else:
+        # i8-native unpack: no widening — 4x fewer vregs touched. Shifts
+        # are illegal on vector<i8>, but and/compare/select/sub are not:
+        #   lo_u = w & 15;  lo_s = lo_u - 16*[lo_u >= 8]
+        #   w - lo_u == 16*hi_s EXACTLY in int8 (no wrap: 16*hi_s in
+        #   [-128, 112], + lo_u in [0, 15] stays in [-128, 127])
+        # so the high-nibble dot runs on (w - lo_u) and the exact /16
+        # moves to the int32 accumulator (arithmetic shift).
+        lo_u = w & jnp.int8(15)
+        lo_s = jnp.where(lo_u >= jnp.int8(8), lo_u - jnp.int8(16), lo_u)
+        hi16 = w - lo_u
+        acc = jax.lax.dot_general(
+            xlo_ref[...], lo_s, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc += jax.lax.dot_general(
+            xhi_ref[...], hi16,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32) >> 4
     out_ref[...] = (acc.astype(jnp.float32) * ws_ref[0] * xs_ref[...]
                     ).astype(out_ref.dtype)
 
@@ -65,7 +85,8 @@ def _block_n(n: int) -> int:
     return n  # tiny/test shapes: one whole-N block (interpret mode)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "interpret", "unpack"))
 def w4a8_matmul_stacked(
     xq_lo: jnp.ndarray,    # (B, K/2) int8 — even half of the activation
     xq_hi: jnp.ndarray,    # (B, K/2) int8 — odd half
@@ -76,6 +97,7 @@ def w4a8_matmul_stacked(
     *,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
+    unpack: str = "i32",
 ) -> jnp.ndarray:
     """(B, N) = dequant(x) @ dequant(W[layer]) with W streamed packed."""
     if interpret is None:
@@ -102,7 +124,7 @@ def w4a8_matmul_stacked(
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, unpack=unpack),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
         # the i32-widened unpack intermediates exceed the default 16 MB
@@ -117,7 +139,8 @@ def w4a8_matmul_stacked(
 
 
 def w4a8_project(x: jnp.ndarray, qt, layer: jnp.ndarray, *,
-                 interpret: Optional[bool] = None) -> jnp.ndarray:
+                 interpret: Optional[bool] = None,
+                 unpack: str = "i32") -> jnp.ndarray:
     """x (B, S, K) @ stacked halves-packed QuantizedTensor → (B, S, N).
 
     Quantizes the activation per token (symmetric int8), splits it into the
@@ -130,5 +153,5 @@ def w4a8_project(x: jnp.ndarray, qt, layer: jnp.ndarray, *,
     k2 = k // 2
     out = w4a8_matmul_stacked(
         xq[:, :k2], xq[:, k2:], xs, qt.q, qt.scale, layer,
-        out_dtype=x.dtype, interpret=interpret)
+        out_dtype=x.dtype, interpret=interpret, unpack=unpack)
     return out.reshape(b, s, -1)

@@ -69,6 +69,29 @@ class TestW4A8Kernel:
             # epilogue rounds
             assert rel < 1e-5, (li, rel)
 
+    def test_i8_unpack_matches_i32_exactly(self):
+        """The i8-native nibble unpack (no widening; exact /16 of the
+        high-nibble dot in the int32 accumulator) must be bit-identical
+        to the i32 shift unpack for every packed byte value."""
+        from lhrs_bot_tpu.ops.w4_matmul import w4a8_matmul_stacked
+
+        rng = np.random.default_rng(0)
+        L, K2, N, B = 2, 128, 128, 3
+        # raw bytes: every (hi, lo) nibble pair, incl. extremes like -8
+        w = jnp.asarray(rng.integers(-128, 128, (L, K2, N)), jnp.int8)
+        ws = jnp.asarray(rng.uniform(0.01, 0.03, (L, 1, N)), jnp.float32)
+        xlo = jnp.asarray(rng.integers(-127, 128, (B, K2)), jnp.int8)
+        xhi = jnp.asarray(rng.integers(-127, 128, (B, K2)), jnp.int8)
+        xs = jnp.asarray(rng.uniform(0.01, 0.03, (B, 1)), jnp.float32)
+        for li in range(L):
+            a = np.asarray(w4a8_matmul_stacked(
+                xlo, xhi, xs, w, ws, jnp.int32(li), interpret=True,
+                unpack="i32"))
+            b = np.asarray(w4a8_matmul_stacked(
+                xlo, xhi, xs, w, ws, jnp.int32(li), interpret=True,
+                unpack="i8"))
+            np.testing.assert_array_equal(a, b)
+
     def test_batch_dim(self):
         key = jax.random.PRNGKey(2)
         L, K, N, B = 2, 128, 128, 5
