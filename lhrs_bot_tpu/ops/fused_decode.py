@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -223,7 +224,8 @@ def _kernel_q(layer_ref, len_ref, q_ref, kn_ref, kns_ref, vn_ref, vns_ref,
               out_ref, ko_ref, vo_ref, kso_ref, vso_ref,
               kbuf, vbuf, ksbuf, vsbuf, kwin, vwin, kswin, vswin,
               sem_k, sem_v, sem_ks, sem_vs, sem_w,
-              *, block_s: int, windows: int, swin: int, sm_scale: float):
+              *, block_s: int, windows: int, swin: int, sm_scale: float,
+              int8_dots: bool = False):
     """int8-cache variant: K/V rows are per-vector int8 with f32 scale
     planes (L, B, H, S). Dequantization folds into the online softmax —
     scores ·= k_scale, probs ·= v_scale — so cache HBM reads stay at
@@ -319,8 +321,21 @@ def _kernel_q(layer_ref, len_ref, q_ref, kn_ref, kns_ref, vn_ref, vns_ref,
         cp.start()
 
     # ---- attention over the valid prefix ----------------------------------
-    q = (q_ref[0, :, 0, :].astype(jnp.float32) * sm_scale).astype(
-        jnp.bfloat16)  # (H, D)
+    # int8_dots: the decode attention loop is VMEM->MXU-stream and
+    # VPU-cast bound, not HBM bound (decode_breakdown r5: 1.96 ms vs the
+    # 0.89 ms HBM ideal; rate invariant to block_s). Casting the int8
+    # K/V blocks to bf16 doubles the MXU row-stream bytes AND costs ~4 us
+    # of VPU per block. Instead quantize the tiny operands: q per-head to
+    # int8 once, and the probability row p (with the per-position V
+    # scales folded in) per block — both dots then run the MXU's native
+    # int8 path directly on the cache bytes.
+    qf = q_ref[0, :, 0, :].astype(jnp.float32) * sm_scale  # (H, D)
+    if int8_dots:
+        q_absmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+        q_qscale = q_absmax / 127.0 + 1e-12
+        q_i8 = jnp.round(qf / q_qscale).astype(jnp.int8)
+    else:
+        q = qf.astype(jnp.bfloat16)
     pb = length // block_s  # block whose DMA may hold the stale row
 
     m0 = jnp.full((h, 1), _NEG_INF, jnp.float32)
@@ -356,11 +371,18 @@ def _kernel_q(layer_ref, len_ref, q_ref, kn_ref, kns_ref, vn_ref, vns_ref,
                     jnp.int32, kbuf.shape[1:], 2) + start
                 kbuf[sl] = jnp.where(rid == length, kn_ref[:], kbuf[sl])
 
-        k = kbuf[slot, 0].astype(jnp.bfloat16)  # (H, BS, D)
-        s = jax.lax.dot_general(
-            q[:, None, :], k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)[:, 0, :]  # (H, BS)
+        if int8_dots:
+            s = jax.lax.dot_general(
+                q_i8[:, None, :], kbuf[slot, 0],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32
+            )[:, 0, :].astype(jnp.float32) * q_qscale  # (H, BS)
+        else:
+            k = kbuf[slot, 0].astype(jnp.bfloat16)  # (H, BS, D)
+            s = jax.lax.dot_general(
+                q[:, None, :], k,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0, :]  # (H, BS)
         col = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         # per-position K scales; col==length only in block pb — the
         # branch-free where doubles as the appended-scale patch (the
@@ -390,14 +412,25 @@ def _kernel_q(layer_ref, len_ref, q_ref, kn_ref, kns_ref, vn_ref, vns_ref,
                     jnp.int32, vbuf.shape[1:], 2) + start
                 vbuf[sl] = jnp.where(rid == length, vn_ref[:], vbuf[sl])
 
-        v = vbuf[slot, 0].astype(jnp.bfloat16)  # (H, BS, D)
         vs_blk = jnp.where(col == length, vns_ref[0, :, 0][:, None],
                            vsbuf[slot, 0])
-        p_scaled = (p * vs_blk).astype(jnp.bfloat16)
-        pv = jax.lax.dot_general(
-            p_scaled[:, None, :], v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)[:, 0, :]  # (H, D)
+        if int8_dots:
+            ps = p * vs_blk  # (H, BS) f32, V scales folded in
+            p_absmax = jnp.max(jnp.abs(ps), axis=-1, keepdims=True)
+            p_qscale = p_absmax / 127.0 + 1e-12
+            p_i8 = jnp.round(ps / p_qscale).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p_i8[:, None, :], vbuf[slot, 0],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32
+            )[:, 0, :].astype(jnp.float32) * p_qscale  # (H, D)
+        else:
+            v = vbuf[slot, 0].astype(jnp.bfloat16)  # (H, BS, D)
+            p_scaled = (p * vs_blk).astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                p_scaled[:, None, :], v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0, :]  # (H, D)
         acc = acc * alpha + pv
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         return new_m, l, acc
@@ -408,10 +441,27 @@ def _kernel_q(layer_ref, len_ref, q_ref, kn_ref, kns_ref, vn_ref, vns_ref,
     out_ref[0, :, 0, :] = (acc / l).astype(out_ref.dtype)
 
 
+def fused_decode_attention_q(*args, int8_dots: Optional[bool] = None,
+                             **kwargs):
+    """int8-cache fused append+attention (jitted core below).
+
+    int8_dots (default: env LHRS_DECODE_INT8_DOTS=1, else off) runs the
+    two attention dots on the int8 cache bytes directly (q and the
+    probability row quantized per-head/per-block to int8) instead of
+    casting K/V blocks to bf16 — see the _kernel_q comment for why. The
+    env default resolves HERE, outside jit, so flipping the env var
+    reaches a distinct compiled program."""
+    if int8_dots is None:
+        int8_dots = os.environ.get("LHRS_DECODE_INT8_DOTS", "0") == "1"
+    return _fused_decode_attention_q(*args, int8_dots=bool(int8_dots),
+                                     **kwargs)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "block_s", "interpret", "vmem_limit"))
-def fused_decode_attention_q(
+    static_argnames=("sm_scale", "block_s", "interpret", "vmem_limit",
+                     "int8_dots"))
+def _fused_decode_attention_q(
     q: jnp.ndarray,        # (B, H, 1, D) current query (bf16/f32)
     k_new: jnp.ndarray,    # (B, H, 1, D) int8 quantized new key
     k_new_scale: jnp.ndarray,  # (B, H, 1) f32
@@ -428,6 +478,7 @@ def fused_decode_attention_q(
     block_s: int = 512,
     interpret: bool = False,
     vmem_limit: Optional[int] = None,
+    int8_dots: bool = False,
 ):
     """int8-cache fused append+attention; returns (attn_out, k_cache,
     v_cache, k_scale, v_scale) with the caches aliased in place.
@@ -488,7 +539,8 @@ def fused_decode_attention_q(
         ],
     )
     kernel = functools.partial(_kernel_q, block_s=block_s, windows=windows,
-                               swin=swin, sm_scale=float(sm_scale))
+                               swin=swin, sm_scale=float(sm_scale),
+                               int8_dots=bool(int8_dots))
     out, k_out, v_out, ks_out, vs_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -79,9 +79,13 @@ def _kernel(layer_ref, xlo_ref, xhi_ref, xs_ref, w_ref, ws_ref, out_ref,
 
 
 def _block_n(n: int) -> int:
-    for nb in (512, 256, 128):
-        if n % nb == 0:
-            return nb
+    # Prefer the widest block even when it does not divide N: Pallas
+    # pads the ragged edge block (garbage lanes never stored), and the
+    # wider DMA + halved grid-step count is what the stream rate wants —
+    # N=11008 (w_up/w_gate, 62% of the 7B weight stream) measured 489
+    # GB/s effective with the old divide-exactly fallback to 256.
+    if n >= 512:
+        return 512
     return n  # tiny/test shapes: one whole-N block (interpret mode)
 
 
@@ -107,7 +111,7 @@ def w4a8_matmul_stacked(
     nb = _block_n(n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # layer
-        grid=(n // nb,),
+        grid=(pl.cdiv(n, nb),),
         in_specs=[
             pl.BlockSpec((b, k2), lambda i, l: (0, 0),
                          memory_space=pltpu.VMEM),   # xq_lo

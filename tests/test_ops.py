@@ -669,6 +669,48 @@ class TestFusedDecodeAttentionQ:
             np.testing.assert_allclose(np.asarray(ks2[other]),
                                        np.asarray(ks[other]), rtol=1e-6)
 
+    def test_int8_dots_parity(self):
+        """int8_dots=True quantizes q (per-head) and the probability row
+        (per-block, V scales folded) to int8 so both dots run on the raw
+        int8 cache bytes. Extra error bound: ~1/127 relative on each dot;
+        outputs must stay within a few percent of the XLA reference."""
+        from lhrs_bot_tpu.models.llama import _write_at, _write_scale_at
+        from lhrs_bot_tpu.ops.decode_attention import decode_attention
+        from lhrs_bot_tpu.ops.fused_decode import fused_decode_attention_q
+        from lhrs_bot_tpu.ops.quant import quantize_activation
+
+        rng = np.random.default_rng(7)
+        L, B, H, S, D = 2, 2, 2, 128, 128
+        kc_f = jnp.asarray(rng.normal(size=(L, B, H, S, D)), jnp.float32)
+        vc_f = jnp.asarray(rng.normal(size=(L, B, H, S, D)), jnp.float32)
+        kc, ks4 = quantize_activation(kc_f)
+        vc, vs4 = quantize_activation(vc_f)
+        ks, vs = ks4[..., 0], vs4[..., 0]
+        lens = jnp.asarray([5, 97], jnp.int32)
+        q = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        kn_f = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        vn_f = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        kn, kns4 = quantize_activation(kn_f)
+        vn, vns4 = quantize_activation(vn_f)
+
+        for layer, block_s in ((0, 32), (1, 96)):
+            out, k2, v2, ks2, vs2 = fused_decode_attention_q(
+                q, kn, kns4[..., 0], vn, vns4[..., 0],
+                kc, vc, ks, vs, lens, jnp.int32(layer),
+                interpret=True, block_s=block_s, int8_dots=True)
+            kr = _write_at(kc[layer], kn, lens)
+            vr = _write_at(vc[layer], vn, lens)
+            ksr = _write_scale_at(ks[layer], kns4[:, :, :, 0], lens)
+            vsr = _write_scale_at(vs[layer], vns4[:, :, :, 0], lens)
+            ref = decode_attention(q, kr, vr, lens + 1,
+                                   k_scale=ksr, v_scale=vsr)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=6e-2, atol=6e-2)
+            np.testing.assert_array_equal(np.asarray(k2[layer]),
+                                          np.asarray(kr))
+            np.testing.assert_array_equal(np.asarray(v2[layer]),
+                                          np.asarray(vr))
+
     def test_decode_step_fused_q_matches_xla(self):
         import functools
 

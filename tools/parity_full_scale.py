@@ -692,14 +692,24 @@ def stat_compare(ref, cmp):
     }
 
 
-def stat_traj_compare(ckpt, ref, cmp):
+def stat_traj_compare(ckpt, ref, cmp, name=None):
     """Greedy-trajectory agreement vs the bf16 engine, through the REAL
     deployed decode path. Divergence cascades (one flip changes every
     later input), so the honest statistics are prefix-based: the
     identical-trajectory fraction, matched-prefix lengths, and the
     reference logit margin AT each first-divergence position — precision
     noise diverges at low-margin steps only, a convention bug in the
-    deployed kernels diverges at high-margin steps too."""
+    deployed kernels diverges at high-margin steps too.
+
+    For a QUANTIZED config the bf16 reference conflates the intended
+    weight-quant noise (int4 on a random checkpoint is comparable to the
+    signal) with deployed-path bugs. The clean recipe-sanity signal is
+    `engine_tok0_vs_own_teacher` (needs `name`): the engine's FIRST
+    generated token against the argmax of the SAME config's
+    teacher-forced logits at position 0 — identical weights, identical
+    context, so the only differences are the deployed kernels' A8
+    activation quantization and int8-KV rounding. High agreement with
+    mismatches confined to small own-logit margins = sane recipe."""
     import numpy as np
 
     n, n_new = ref.shape
@@ -708,6 +718,22 @@ def stat_traj_compare(ckpt, ref, cmp):
     out = {"identical_frac": round(float((first == n_new).mean()), 4),
            "matched_prefix_mean": round(float(first.mean()), 2),
            "matched_prefix_min": int(first.min())}
+    own_p = os.path.join(ckpt, f"stat_logits_{name}.npz") if name else None
+    if own_p and os.path.exists(own_p):
+        own = np.load(own_p)["logits"]  # (N, n_new+1, V)
+        tf0 = own[:, 0].argmax(-1)
+        eng0 = cmp[:, 0]
+        mm = eng0 != tf0
+        row = np.partition(own[:, 0], -2, axis=-1)
+        own_margin = row[:, -1] - row[:, -2]
+        out["engine_tok0_vs_own_teacher"] = {
+            "agree_rate": round(float((~mm).mean()), 4),
+            "n_mismatch": int(mm.sum()),
+            "own_margin_at_mismatch_max":
+                (round(float(own_margin[mm].max()), 3)
+                 if mm.any() else 0.0),
+            "own_margin_p50": round(float(np.percentile(own_margin, 50)),
+                                    3)}
     for name in ("f32", "bf16"):
         p = os.path.join(ckpt, f"stat_logits_{name}.npz")
         if not os.path.exists(p):
@@ -805,7 +831,7 @@ def run_statistical(args, cfg):
                 args.ckpt, cfg, ids, lens, pixels, n_new, name=c,
                 **eng_kwargs[c])
             report[f"{c}_traj_agreement"] = stat_traj_compare(
-                args.ckpt, traj, tcfg)
+                args.ckpt, traj, tcfg, name=c)
             report[f"{c}_traj_run_s"] = round(time.time() - t0, 1)
         except Exception as exc:  # noqa: BLE001 — keep earlier configs
             report[f"{c}_traj_error"] = str(exc)[:300]
