@@ -22,7 +22,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from decode_breakdown import (  # noqa: E402
-    B as _B, attn_scan, decode_scan, int8_cache, make_params, time_step,
+    attn_scan, decode_scan, int8_cache, make_params, time_step,
     H, D, L, STEPS, d, ffn, V)
 
 B, SMAX, L0 = 1, 2304, 2192
