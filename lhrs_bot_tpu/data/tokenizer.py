@@ -29,9 +29,22 @@ def load_tokenizer(path: str, model_max_length: int = 2048,
 
     from transformers import AutoTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(
-        path, use_fast=False, model_max_length=model_max_length,
-        padding_side=padding_side)
+    try:
+        tokenizer = AutoTokenizer.from_pretrained(
+            path, use_fast=False, model_max_length=model_max_length,
+            padding_side=padding_side)
+    except Exception as exc:  # noqa: BLE001 — transformers raises many types
+        # A checkpoint dir that exists but carries no usable tokenizer
+        # files (e.g. weights-only exports) makes transformers attempt a
+        # slow->fast conversion with vocab_file=None and die deep inside
+        # (AttributeError). Same remedy as a missing path.
+        if not allow_fallback:
+            raise
+        logger.warning(
+            "tokenizer load from %r failed (%s: %s) — using the "
+            "byte-level fallback tokenizer (smoke runs only)",
+            path, type(exc).__name__, exc)
+        return make_fallback_tokenizer(model_max_length=model_max_length)
     if tokenizer.pad_token is None:
         if tokenizer.unk_token is not None:
             tokenizer.pad_token = tokenizer.unk_token

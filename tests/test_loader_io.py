@@ -198,6 +198,24 @@ class TestFallbackTokenizer:
         ids = tokenizer_image_token("a <image> b", tok)
         assert ids.count(IMAGE_TOKEN_INDEX) == 1
 
+    def test_weights_only_dir_falls_back(self, tmp_path):
+        """A checkpoint dir that exists but has no tokenizer files
+        (weights-only export) must fall back, not crash inside
+        transformers' slow->fast conversion (r5 EVAL run regression:
+        AttributeError on vocab_file=None)."""
+        import json
+
+        import pytest
+
+        from lhrs_bot_tpu.data.tokenizer import load_tokenizer
+
+        (tmp_path / "config.json").write_text(json.dumps(
+            {"model_type": "llama", "vocab_size": 32000}))
+        tok = load_tokenizer(str(tmp_path), 512)
+        assert tok.pad_token_id == 0 and tok("x").input_ids
+        with pytest.raises(Exception):
+            load_tokenizer(str(tmp_path), 512, allow_fallback=False)
+
 
 class TestModelIO:
     def test_save_and_load_final_roundtrip(self, tmp_path):
